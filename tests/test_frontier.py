@@ -1,0 +1,140 @@
+"""Unit tests: canonicalization, outlinks, bloom filter, politeness, robots."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from crawler_spark.frontier.canon import (
+    canon_expr,
+    canonicalize_url,
+    extract_outlinks,
+    host_expr,
+    outlinks_expr,
+)
+from crawler_spark.frontier.politeness import apply_politeness_budget, robots_allowed
+from crawler_spark.frontier.seen import BloomState, filter_unseen
+
+
+def test_canonicalize_url():
+    assert canonicalize_url("HTTPS://Host0.EXAMPLE:443/p/1#frag") == "https://host0.example/p/1"
+    assert canonicalize_url("http://a.example:80/x?q=1#f") == "http://a.example/x?q=1"
+    assert canonicalize_url("http://a.example:8080/") == "http://a.example:8080/"
+    assert canonicalize_url("https://a.example") == "https://a.example/"
+    assert canonicalize_url("") == ""
+    # query order preserved
+    assert canonicalize_url("https://a.example/x?b=2&a=1") == "https://a.example/x?b=2&a=1"
+
+
+def test_extract_outlinks_order_and_perpage_distinct():
+    html = (
+        '<a href="/b">1</a> <a href="https://other.example/z">2</a>'
+        '<a href="/b">dup</a> <a href="#frag">skip</a>'
+        '<a href="HTTPS://A.EXAMPLE/c">3</a> <a class="k" href="/d">4</a>'
+    )
+    out = extract_outlinks("https://a.example/root", html)
+    assert out == [
+        "https://a.example/b",
+        "https://other.example/z",
+        "https://a.example/c",
+        "https://a.example/d",
+    ]
+
+
+def test_canon_and_outlinks_spark_match_kernel(spark):
+    rows = [
+        ("HTTPS://Host0.EXAMPLE:443/p/1#frag", '<a href="/x">x</a><a href="/x">d</a>'),
+        ("https://h.example/a/b", '<a href="c">rel</a><a href="mailto:x@y">m</a>'),
+    ]
+    df = spark.createDataFrame(rows, ["url", "html"])
+    got = df.select(
+        canon_expr(F.col("url")).alias("c"),
+        outlinks_expr(F.col("url"), F.col("html")).alias("links"),
+    ).collect()
+    for (url, html), r in zip(rows, got):
+        assert r["c"] == canonicalize_url(url)
+        assert r["links"] == extract_outlinks(url, html)
+    # host from canonical url via JVM parse_url
+    hosts = df.select(host_expr(canon_expr(F.col("url"))).alias("h")).collect()
+    assert hosts[0]["h"] == "host0.example"
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    bs = BloomState(n_buckets=4, bits_per_bucket=1 << 14)
+    rng = np.random.default_rng(7)
+    hashes = rng.integers(-(2**62), 2**62, size=500).tolist()
+    new = spark.createDataFrame(
+        [(int(h) % 4, int(h)) for h in hashes], "bucket int, url_hash long"
+    )
+    bloom = bs.merge(bs.empty(spark), new)
+    # probe the same hashes → all maybe_seen (no false negatives)
+    cands = spark.createDataFrame(
+        [(int(h) % 4, int(h), f"u{h}") for h in hashes],
+        "bucket int, url_hash long, url_canon string",
+    )
+    probed = bs.probe(cands, bloom)
+    assert probed.filter(~F.col("maybe_seen")).count() == 0
+    # unseen hashes → mostly not maybe_seen
+    other = rng.integers(-(2**62), 2**62, size=500)
+    cands2 = spark.createDataFrame(
+        [(int(h) % 4, int(h), f"v{h}") for h in other],
+        "bucket int, url_hash long, url_canon string",
+    )
+    fp = bs.probe(cands2, bloom).filter(F.col("maybe_seen")).count()
+    assert fp < 25  # <5% at this sizing
+
+
+def test_filter_unseen_exact_with_bloom(spark):
+    bs = BloomState(n_buckets=2, bits_per_bucket=1 << 12)
+    seen_rows = [(i % 2, i * 7, f"https://h.example/p/{i}") for i in range(50)]
+    seen = spark.createDataFrame(seen_rows, "bucket int, url_hash long, url_canon string")
+    bloom = bs.merge(bs.empty(spark), seen.select("bucket", "url_hash"))
+    # candidates: 25 seen + 25 new
+    cand_rows = seen_rows[:25] + [
+        (i % 2, i * 7 + 3, f"https://h.example/q/{i}") for i in range(25)
+    ]
+    cands = spark.createDataFrame(
+        cand_rows, "bucket int, url_hash long, url_canon string"
+    )
+    out = filter_unseen(cands, seen, bloom, bs)
+    got = {r["url_canon"] for r in out.collect()}
+    assert got == {f"https://h.example/q/{i}" for i in range(25)}
+
+
+def test_robots_allowed(spark):
+    frontier = spark.createDataFrame(
+        [
+            ("https://a.example/p/9x", "a.example"),
+            ("https://a.example/ok", "a.example"),
+            ("https://b.example/p/9", "b.example"),
+            ("https://norobots.example/p/9", "norobots.example"),
+        ],
+        "url_canon string, host string",
+    )
+    robots = spark.createDataFrame(
+        [("a.example", ["/p/9"]), ("b.example", [])],
+        "host string, disallow_prefixes array<string>",
+    )
+    got = {r["url_canon"] for r in robots_allowed(frontier, robots).collect()}
+    assert got == {
+        "https://a.example/ok",
+        "https://b.example/p/9",
+        "https://norobots.example/p/9",
+    }
+
+
+def test_politeness_budget_split(spark):
+    rows = [
+        ("h1", 0, 0, i, f"u{i}") for i in range(5)
+    ] + [("h2", 0, 0, 10, "v0"), ("h1", 1, 0, 99, "low_prio")]
+    frontier = spark.createDataFrame(
+        [(h, p, r, s, u) for h, p, r, s, u in rows],
+        "host string, priority int, round_added int, seq long, url_canon string",
+    )
+    politeness = spark.createDataFrame(
+        [("h1", 3)], "host string, max_fetches_per_round int"
+    )
+    sched, defer = apply_politeness_budget(frontier, politeness, default_budget=16)
+    s = {r["url_canon"] for r in sched.collect()}
+    d = {r["url_canon"] for r in defer.collect()}
+    # h1: budget 3 → u0,u1,u2 (priority 0, seq order); low_prio deferred last
+    assert s == {"u0", "u1", "u2", "v0"}
+    assert d == {"u3", "u4", "low_prio"}
