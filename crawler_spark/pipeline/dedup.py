@@ -1,0 +1,324 @@
+"""Deduplication families: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Everything here is deterministic and *portable*: token/shingle hashes are
+derived from md5 (not engine-internal hash functions), so the DuckDB oracle
+in ``__spark_entry__.oracle_sql`` reproduces every signature bit-for-bit.
+All hot paths are built-in Column expressions (whole-stage codegen); there
+is no Python UDF anywhere in this module.
+
+Scale design (the 100 TB story):
+
+* exact dedup — one shuffle keyed on the md5 fingerprint; uniformly
+  distributed by construction → no skew. Map-side partial aggregation
+  (``groupBy.agg(min, count)``) keeps shuffle bytes ∝ distinct keys.
+* MinHash — signatures are computed with ONE shuffle: explode shingles,
+  then a single groupBy(doc) with K min-aggregates (map-side combine
+  shrinks each task's output to one row per doc per partition).
+  LSH banding then buckets by (band_id, band_hash) — ~uniform buckets —
+  and candidate pairs are generated per-bucket, never across the corpus.
+* SimHash — same one-shuffle shape with B conditional-sum aggregates.
+* n-gram Jaccard — pair generation via an equi-join on shingle (the only
+  quadratic risk); the join key is a shingle hash, and ultra-hot shingles
+  (stopword bigrams) are exactly the keys AQE skew-split handles; the
+  ``min_common`` prefilter drops pairs before the expensive ratio math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+# 60-bit hash space: 15 hex digits always fit a signed 64-bit int, in both
+# Spark (conv→cast) and DuckDB ('0x…'::BIGINT) — the portability contract.
+HASH_BITS = 60
+_MERSENNE_P = (1 << 61) - 1  # prime > 2^60, for the affine MinHash family
+
+
+def md5h60(c: Column) -> Column:
+    """Portable 60-bit hash of a string column (first 15 hex digits of md5).
+
+    Used instead of ``xxhash64`` wherever a SQL oracle must reproduce the
+    value. The crawl path (no oracle requirement) uses ``F.xxhash64`` which
+    is cheaper; both are uniform, which is all the bucketing needs.
+    """
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def shingles_expr(text: Column, n: int = 2) -> Column:
+    """Distinct word n-grams of lowercased text, as strings.
+
+    Built from the token array with ``transform`` + ``slice`` — stays
+    JVM-side. Distinct because Jaccard/MinHash are set semantics.
+    """
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
+    if n == 1:
+        return F.array_distinct(toks)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    gram = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    # guard: sequence(1, x<1) is DESCENDING in Spark → would feed slice a
+    # 0/negative start; docs shorter than n grams have no shingles at all
+    return F.when(F.size(toks) >= n, F.array_distinct(gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 2) -> DataFrame:
+    """(id, shingle) rows — the shared first stage of every near-dup family."""
+    return df.select(
+        F.col(id_col), F.explode(shingles_expr(F.col(text_col), n)).alias("shingle")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup_groups(df: DataFrame, id_col: str, fingerprint: Column) -> DataFrame:
+    """Duplicate groups by content fingerprint: one row per distinct content,
+    ``keeper_id`` = min id, ``n_copies`` = multiplicity.
+
+    One shuffle on the fingerprint; partial aggregation means shuffle volume
+    is one row per (task, distinct fingerprint) — at 100 TB this is the
+    cheapest possible exact dedup.
+    """
+    return (
+        df.select(F.col(id_col).alias("_id"), fingerprint.alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup_keep_first(df: DataFrame, id_col: str, fingerprint: Column) -> DataFrame:
+    """The deduplicated corpus itself: keep the min-id row per fingerprint.
+
+    Window + filter rather than groupBy-then-join: one shuffle, no second
+    scan of the (wide) document rows.
+    """
+    w = Window.partitionBy("_fp").orderBy(F.col(id_col))
+    return (
+        df.withColumn("_fp", fingerprint)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_fp", "_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _perm_params(n_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic affine-permutation family h_i(x) = (a_i·x + b_i) mod p.
+
+    Parameters come from a fixed LCG on the seed (NOT random per run):
+    identical in the SQL oracle, identical across resumed jobs.
+    """
+    params: list[tuple[int, int]] = []
+    state = seed
+    for _ in range(n_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state % (_MERSENNE_P - 1)) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % _MERSENNE_P
+        params.append((a, b))
+    return params
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 16, ngram: int = 2,
+    seed: int = 7,
+) -> DataFrame:
+    """MinHash signature per document: columns ``mh0..mh{K-1}``.
+
+    ONE shuffle: explode shingles → groupBy(doc) with K ``min`` aggregates.
+    The affine family runs on the portable 60-bit shingle hash; arithmetic
+    is done in DECIMAL(38,0) to avoid 64-bit overflow identically in Spark
+    and DuckDB (a·x can exceed 2^63).
+    """
+    ex = exploded_shingles(df, id_col, text_col, ngram)
+    h = md5h60(F.col("shingle")).cast("decimal(38,0)")
+    aggs = []
+    for i, (a, b) in enumerate(_perm_params(n_hashes, seed)):
+        perm = (h * F.lit(a).cast("decimal(38,0)") + F.lit(b).cast("decimal(38,0)")) % F.lit(
+            _MERSENNE_P
+        ).cast("decimal(38,0)")
+        aggs.append(F.min(perm.cast("long")).alias(f"mh{i}"))
+    return ex.groupBy(F.col(id_col)).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str, n_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the signature become a pair.
+
+    Band key = md5 of the concatenated band values → uniform bucket ids.
+    Pair generation is a per-bucket self-join (equi-join on band key), so
+    cost is Σ bucket² — bounded because true duplicates are rare and the band
+    hash is uniform; a runaway bucket (pathological corpus) is AQE-skew-
+    split. Output: distinct (id_a < id_b) candidate pairs.
+    """
+    rows_per_band = n_hashes // bands
+    band_rows = []
+    for bidx in range(bands):
+        cols = [F.col(f"mh{bidx * rows_per_band + r}") for r in range(rows_per_band)]
+        key = F.md5(F.concat_ws("_", F.lit(str(bidx)), *[c.cast("string") for c in cols]))
+        band_rows.append(
+            sig.select(F.col(id_col).alias("doc"), F.lit(bidx).alias("band"), key.alias("bkey"))
+        )
+    banded = band_rows[0]
+    for b in band_rows[1:]:
+        banded = banded.unionByName(b)
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(right, ["band", "bkey"])
+        .filter(F.col("l.doc") < F.col("r.doc"))
+        .select(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_similarity(sig: DataFrame, pairs: DataFrame, n_hashes: int = 16) -> DataFrame:
+    """Estimated Jaccard for candidate pairs = fraction of equal signature
+    components. Two broadcast-ready joins (signatures are narrow)."""
+    eq_terms = sum(
+        F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0)
+        for i in range(n_hashes)
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    id_col = sig.columns[0]
+    return (
+        pairs.join(a, pairs.id_a == F.col(f"a.{id_col}"))
+        .join(b, pairs.id_b == F.col(f"b.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            (eq_terms.cast("double") / F.lit(float(n_hashes))).alias("est_jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32, ngram: int = 1
+) -> DataFrame:
+    """SimHash per document over (distinct) token/shingle hashes.
+
+    bit_j(doc) = 1 iff Σ_tokens (±1 by token-hash bit j) > 0. One shuffle:
+    explode → groupBy(doc) with ``bits`` conditional sums, then assemble the
+    integer JVM-side. ``bits`` ≤ 60 because the portable hash is 60-bit.
+    """
+    assert bits <= HASH_BITS
+    ex = exploded_shingles(df, id_col, text_col, ngram)
+    h = md5h60(F.col("shingle"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    per_doc = ex.groupBy(F.col(id_col)).agg(*aggs)
+    sim = sum(
+        F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        for j in range(bits)
+    )
+    return per_doc.select(F.col(id_col), sim.alias("simhash"))
+
+
+def hamming64_expr(a: Column, b: Column) -> Column:
+    """Popcount of XOR via bit_count — JVM built-in."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dups(sim: DataFrame, id_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    Scale path: block by the high 16 bits of the simhash (two docs within
+    Hamming r of each other agree on at least one of r+1 disjoint bit
+    blocks — the classic Charikar rotation trick; we implement the block
+    join for ⌈bits/16⌉ blocks). Avoids the all-pairs cross join.
+    """
+    blocks = 4
+    block_rows = []
+    for k in range(blocks):
+        key = F.shiftright(F.col("simhash"), k * 16).bitwiseAND(F.lit(0xFFFF))
+        block_rows.append(
+            sim.select(
+                F.col(id_col).alias("doc"),
+                F.col("simhash").alias("sh"),
+                F.lit(k).alias("blk"),
+                key.alias("bkey"),
+            )
+        )
+    banded = block_rows[0]
+    for b in block_rows[1:]:
+        banded = banded.unionByName(b)
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(r, ["blk", "bkey"])
+        .filter(F.col("l.doc") < F.col("r.doc"))
+        .select(
+            F.col("l.doc").alias("id_a"),
+            F.col("r.doc").alias("id_b"),
+            hamming64_expr(F.col("l.sh"), F.col("r.sh")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 2,
+    min_jaccard: float = 0.5,
+    min_common: int = 2,
+) -> DataFrame:
+    """Exact Jaccard over word-n-gram sets for every pair sharing ≥
+    ``min_common`` shingles.
+
+    Plan: explode → self-equi-join on shingle → pair-count agg → join the
+    two per-doc set sizes → ratio. The shingle join is where skew lives at
+    scale (hot shingles); countermeasures: (a) distinct shingles per doc
+    (bounds fanout per doc), (b) AQE skew-join on the equi-join, (c) a
+    document-frequency cap — drop shingles appearing in > df_cap docs
+    (stopword-grams carry no dedup signal). df_cap left to the caller at
+    small SF for oracle parity.
+    """
+    ex = exploded_shingles(df, id_col, text_col, ngram)
+    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    l, r = ex.alias("l"), ex.alias("r")
+    common = (
+        l.join(r, "shingle")
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )

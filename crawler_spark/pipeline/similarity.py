@@ -1,0 +1,159 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Two tiers:
+
+* :func:`cosine_topk` — exact brute force. The correctness baseline and the
+  right answer whenever |queries| is small: broadcast the queries, one scan
+  of the corpus, per-query top-k via window. No shuffle of the corpus at
+  all when queries are broadcast (only the tiny scored-candidates shuffle
+  for the window).
+* :func:`lsh_bucketed_topk` — random-hyperplane LSH: corpus and queries are
+  hashed to sign-pattern buckets; scoring happens only within a bucket (and
+  optionally its multi-probe neighbours). At 10^10 vectors this turns a
+  full-corpus scan per query batch into a bucket-local join; bucket ids are
+  uniform (signs of random projections) so the partitioning is skew-free.
+
+Dot products use built-in ``zip_with`` + ``aggregate`` (JVM, codegen) in
+double precision with a fixed left-to-right fold order — deterministic and
+reproducible by the SQL oracle's ``list_dot_product`` over DOUBLE[].
+Hyperplanes are generated from a seeded LCG (not numpy RNG) so plans are
+identical across runs/resumes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i in double, fixed fold order (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbours for each query vector.
+
+    ``queries`` (small) is broadcast → the corpus is scanned once, scoring
+    |corpus|·|queries| pairs map-side; only (query, candidate, sim) tuples
+    reach the top-k window. Self-matches excluded. Ties broken by neighbour
+    id for a fully deterministic result.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("qvec"), F.col("cvec")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(n_planes: int, dim: int, seed: int = 11) -> list[list[float]]:
+    """Seeded LCG hyperplanes in [-1, 1) — deterministic, library-free."""
+    state = seed
+    planes: list[list[float]] = []
+    for _ in range(n_planes):
+        row: list[float] = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            row.append(state / float(1 << 62) - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id: bit_j = [vec · plane_j > 0]. Pure built-ins."""
+    bucket = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(v)) for v in plane])
+        bit = F.when(dot_expr(vec, lit_plane) > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket + bit
+    return bucket
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int | None = None,
+    seed: int = 11,
+) -> DataFrame:
+    """Approximate top-k: score only candidates in the query's LSH bucket.
+
+    Recall/cost dial = ``n_planes`` (more planes → smaller buckets → faster,
+    lower recall). The bucket equi-join replaces the brute-force cross join;
+    at scale the corpus side is bucketed/partitioned by ``bucket`` once and
+    reused across query batches. An IVF variant drops in by replacing
+    ``lsh_bucket_expr`` with an argmin-over-centroids expression — the join
+    scaffold is identical.
+    """
+    if dim is None:
+        dim = len(
+            corpus.select(F.col(vec_col)).first()[0]
+        )
+    planes = _hyperplanes(n_planes, dim, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        lsh_bucket_expr(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        lsh_bucket_expr(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("qvec"), F.col("cvec")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
