@@ -295,6 +295,33 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash(docs, "doc_id", "text", bits=SIMHASH_BITS, ngram=1)
 
 
+def q_rule_cut_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 cutStringRule.Get (non-distinct): recursive multi-match incl. the
+    per-level position-0 ``end`` search (ruler/cut_string.go:20-60); the
+    DuckDB twin is a recursive CTE over the level remainder."""
+    docs = _t(spark, sf_dir, "documents")
+    rule = CutRule(CUT_START, CUT_END)
+    return docs.select(
+        "doc_id", F.explode(rule.array_expr(F.col("text"), distinct=False)).alias("cut_val")
+    )
+
+
+def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduplicated corpus: min-doc_id row per content fingerprint (one
+    shuffle, window row_number, no second scan)."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = dd.exact_dedup_keep_first(docs, "doc_id", ts.fingerprint_expr(F.col("text")))
+    return kept.select("doc_id", "source", "n_chars")
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via the Charikar disjoint-block join (4×8-bit
+    blocks of a 32-bit simhash, Hamming ≤ 3) — no all-pairs cross join."""
+    docs = _t(spark, sf_dir, "documents")
+    sims = dd.simhash(docs, "doc_id", "text", bits=32, ngram=1)
+    return dd.simhash_near_dups(sims, "doc_id", max_hamming=3, bits=32, blocks=4)
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return dd.ngram_jaccard_pairs(
@@ -440,6 +467,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_sum": q_running_sum,
         "sessionize": q_sessionize,
         # training-data pipeline
+        "rule_cut_all": q_rule_cut_all,
+        "dedup_keep_first": q_dedup_keep_first,
+        "simhash_near_dups": q_simhash_near_dups,
         "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash_signatures,
         "lsh_est_jaccard": q_lsh_est_jaccard,
@@ -581,6 +611,43 @@ SELECT source, count(*) AS n_docs, sum(n_tokens)::BIGINT AS sum_tokens,
 FROM f GROUP BY source"""
 
 
+def _sql_cut_all() -> str:
+    """Recursive-CTE twin of the cut rule's multi-match recursion: each
+    level re-searches start AND end from the level's position 0 and recurses
+    on the remainder after end (ruler/cut_string.go:20-60)."""
+    s, e = CUT_START, CUT_END
+    ls, le = len(s), len(e)
+    emit = f"strpos(rem, '{s}') > 0 AND strpos(rem, '{e}') > strpos(rem, '{s}') + {ls}"
+    return f"""
+WITH RECURSIVE lv AS (
+  SELECT doc_id, text AS rem FROM documents
+  UNION ALL
+  SELECT doc_id, substr(rem, strpos(rem, '{e}') + {le}) FROM lv
+  WHERE {emit} AND strpos(rem, '{e}') + {le} <= length(rem)
+)
+SELECT doc_id,
+  substr(rem, strpos(rem, '{s}') + {ls},
+         strpos(rem, '{e}') - strpos(rem, '{s}') - {ls}) AS cut_val
+FROM lv WHERE {emit}"""
+
+
+def _sql_simhash_near_dups(bits: int = 32, blocks: int = 4, max_hamming: int = 3) -> str:
+    sims = _sql_simhash(bits)
+    bb = bits // blocks
+    mask = (1 << bb) - 1
+    block_selects = " UNION ALL ".join(
+        f"SELECT doc_id AS doc, simhash AS sh, {k} AS blk, "
+        f"(simhash >> {k * bb}) & {mask} AS bkey FROM sims"
+        for k in range(blocks)
+    )
+    return f"""
+WITH sims AS ({sims}), banded AS ({block_selects})
+SELECT DISTINCT l.doc AS id_a, r.doc AS id_b,
+  bit_count(xor(l.sh, r.sh))::INT AS hamming
+FROM banded l JOIN banded r ON l.blk = r.blk AND l.bkey = r.bkey AND l.doc < r.doc
+WHERE bit_count(xor(l.sh, r.sh)) <= {max_hamming}"""
+
+
 _FP = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
 
 
@@ -679,6 +746,12 @@ WITH g AS (
   FROM events)
 SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
 FROM g GROUP BY user_id""",
+        "rule_cut_all": _sql_cut_all(),
+        "dedup_keep_first": (
+            f"SELECT doc_id, source, n_chars FROM documents "
+            f"QUALIFY row_number() OVER (PARTITION BY {_FP} ORDER BY doc_id) = 1"
+        ),
+        "simhash_near_dups": _sql_simhash_near_dups(),
         "exact_dedup": (
             f"SELECT {_FP} AS fp, min(doc_id) AS keeper_id, count(*) AS n_copies "
             "FROM documents GROUP BY fp"

@@ -1,0 +1,128 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries from __spark_entry__.queries() at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and one frontier-round kernel at scale
+(crawler_spark.benchmarks), then prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra keys carry the north-rule metric (URLs-scheduled/sec + round
+wall-time). Each query is forced end-to-end with a noop-format write (full
+computation, no driver collect, no disk).
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   input dir            (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[] parallelism  (default 32)
+  BENCH_URLS           kernel frontier size (default 1000000)
+  BENCH_ONLY           comma list: restrict to these query names
+  BENCH_SKIP_KERNEL    "1" → skip the frontier-round kernel
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_URLS = int(os.environ.get("BENCH_URLS", "1000000"))
+
+# headline set: every operator family, skipping only the quadratic
+# pair-joins whose output size (not engine speed) dominates at sf0.1
+HEADLINE = [
+    "rule_regex_first",
+    "rule_regex_all_distinct",
+    "rule_cut_first",
+    "outlink_tokens",
+    "seen_anti_join",
+    "politeness_topk",
+    "host_budget",
+    "frontier_union",
+    "pricing_summary",
+    "top_revenue_orders",
+    "region_rollup",
+    "distinct_users",
+    "running_sum",
+    "sessionize",
+    "exact_dedup",
+    "minhash_signatures",
+    "simhash",
+    "ngram_jaccard",
+    "embedding_topk",
+    "text_quality",
+    "quality_by_source",
+]
+
+
+def make_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"crawler-spark-bench-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
+        .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    import __spark_entry__ as E
+
+    only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
+    spark = make_spark(CPUS)
+    qs = E.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if only and name not in only:
+            continue
+        fn = qs[name]
+        df = fn(spark, SF_DIR)  # build (untimed)
+        force(df)  # warm JIT/readers once
+        t0 = time.monotonic()
+        force(fn(spark, SF_DIR))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    result = {
+        "metric": "headline_queries_total_wall",
+        "unit": "sec",
+        "sf": 0.1 if "sf0.1" in SF_DIR else SF_DIR,
+        "cpus": CPUS,
+        "queries": timings,
+    }
+
+    if os.environ.get("BENCH_SKIP_KERNEL") != "1" and not only:
+        from crawler_spark.benchmarks import frontier_round_kernel
+
+        # warm-up at 1/10 size (JIT, python worker pool), then the real run
+        frontier_round_kernel(spark, n_urls=max(BENCH_URLS // 10, 10_000))
+        kernel = frontier_round_kernel(spark, n_urls=BENCH_URLS)
+        timings["frontier_round"] = kernel["round_wall_sec"]
+        result["frontier_round"] = kernel
+        result["urls_scheduled_per_sec"] = kernel["urls_scheduled_per_sec"]
+        result["round_wall_sec"] = kernel["round_wall_sec"]
+
+    result["value"] = round(sum(timings.values()), 3)
+    spark.stop()
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

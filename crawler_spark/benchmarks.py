@@ -1,0 +1,172 @@
+"""Scale-oriented benchmark kernels (north-rule metric).
+
+BASELINE.json's headline metric is *URLs-scheduled/sec + frontier-round
+wall-time* with *scaling efficiency >= 0.8 from N to 4N executors*. The
+sandbox has no multi-node cluster, so (per BASELINE.md) the scaling
+criterion is evidenced by running the SAME kernel on the SAME input at two
+parallelism levels (local[8] vs local[32]) and comparing throughput.
+
+The kernel below is one full frontier round over a Spark-generated
+synthetic frontier — every stage of the real scheduler
+(crawler_spark.scheduler.crawl) in its per-round dataflow:
+
+    generate urls -> canonicalize (Arrow UDF) -> host/bucket/xxhash64
+      -> first-occurrence dedup -> Bloom probe + exact anti-join vs seen
+      -> per-host politeness window -> fetch-as-join against pages
+      -> outlink extraction (Arrow UDF) + posexplode
+
+Input is generated *distributed* (spark.range + column exprs, no
+driver-side pandas) so the kernel scales to arbitrary n_urls; it is a pure
+function of n_urls/n_hosts (no wall clock, no rand()), so two parallelism
+levels see byte-identical input.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from crawler_spark.frontier.canon import (
+    canon_expr,
+    host_bucket_expr,
+    host_expr,
+    outlinks_expr,
+    url_hash_expr,
+)
+from crawler_spark.frontier.politeness import apply_politeness_budget
+from crawler_spark.frontier.seen import BloomState, filter_unseen
+from crawler_spark.scheduler import _dedup_candidates
+
+# deterministic pseudo-uniform in [0, 1): Knuth multiplicative hash mod a
+# prime — same value for a given id at any parallelism.
+_MIX = 2654435761
+_PRIME = 1000003
+
+
+def _u(col):
+    return (F.pmod(col * F.lit(_MIX), F.lit(_PRIME))).cast("double") / F.lit(float(_PRIME))
+
+
+def synth_frontier(spark: SparkSession, n_urls: int, n_hosts: int) -> DataFrame:
+    """Raw (uncanonicalized) URL batch with Zipf-ish host skew.
+
+    Hosts are drawn as floor(n_hosts * u^2): quadratic density → host 0 is
+    ~hot like a real crawl frontier. URLs carry uppercase scheme/host and an
+    explicit default port so canonicalization does real work per row.
+    """
+    df = spark.range(n_urls).withColumn("host_id", (F.lit(n_hosts) * _u(F.col("id")) * _u(F.col("id"))).cast("long"))
+    return df.select(
+        F.col("id"),
+        F.col("host_id"),
+        F.format_string(
+            "HTTPS://H%d.Example.com:443/p/%d?x=%d", F.col("host_id"), F.col("id"), F.pmod(F.col("id"), F.lit(7))
+        ).alias("url"),
+    )
+
+
+def synth_pages(urls: DataFrame) -> DataFrame:
+    """Corpus for fetch-as-join: one small html body per canonical URL with
+    three outlinks (relative, absolute same-host, cross-host)."""
+    return urls.select(
+        F.lower(F.regexp_replace("url", ":443", "")).alias("url_canon"),
+        F.format_string(
+            '<html><body><a href="/p/%d">n</a> <a href="https://h%d.example.com/p/%d">s</a>'
+            ' <a href="https://h%d.example.com/">x</a><p>body %d</p></body></html>',
+            F.col("id") + 1,
+            F.col("host_id"),
+            F.col("id") + 2,
+            F.pmod(F.col("id"), F.lit(97)),
+            F.col("id"),
+        ).alias("html"),
+    )
+
+
+def frontier_round_kernel(
+    spark: SparkSession,
+    n_urls: int = 1_000_000,
+    n_hosts: int = 2_000,
+    seen_every: int = 3,
+    budget: int = 512,
+    n_buckets: int = 32,
+    use_bloom: bool = True,
+) -> dict:
+    """One frontier round at scale; returns timings + throughput.
+
+    ``seen_every``: every k-th generated URL is pre-marked seen (exercises
+    the Bloom prefilter + exact anti-join on a realistic revisit rate).
+    """
+    raw = synth_frontier(spark, n_urls, n_hosts)
+    pages = synth_pages(raw)
+
+    # pre-seen state: every k-th URL, already canonical
+    seen = (
+        raw.filter(F.pmod("id", F.lit(seen_every)) == 0)
+        .select(F.lower(F.regexp_replace("url", ":443", "")).alias("url_canon"))
+        .withColumn("host", host_expr(F.col("url_canon")))
+        .withColumn("bucket", host_bucket_expr(F.col("host"), n_buckets))
+        .withColumn("url_hash", url_hash_expr(F.col("url_canon")))
+        .select("url_hash", "bucket", "url_canon")
+    )
+    bloom_state = BloomState(n_buckets, 1 << 22) if use_bloom else None
+    if bloom_state is not None:
+        bloom = bloom_state.merge(bloom_state.empty(spark), seen.select("bucket", "url_hash"))
+        bloom.persist()
+        bloom.count()
+    else:
+        bloom = None
+    seen.persist()
+    seen.count()
+    pages.persist()
+    pages.count()
+
+    t0 = time.monotonic()
+    cands = raw.select(
+        canon_expr(F.col("url")).alias("url_canon"),
+        F.lit(0).alias("priority"),
+        F.col("id").alias("first_occ_a"),
+        F.lit(0).cast("long").alias("first_occ_b"),
+    )
+    cands = (
+        cands.withColumn("host", host_expr(F.col("url_canon")))
+        .withColumn("bucket", host_bucket_expr(F.col("host"), n_buckets))
+        .withColumn("url_hash", url_hash_expr(F.col("url_canon")))
+    )
+    cands = _dedup_candidates(cands)
+    fresh = filter_unseen(cands, seen, bloom, bloom_state)
+    frontier = fresh.select(
+        "url_canon",
+        "host",
+        "bucket",
+        "url_hash",
+        "priority",
+        F.lit(0).alias("round_added"),
+        F.col("first_occ_a").alias("seq"),
+    )
+    scheduled, _deferred = apply_politeness_budget(
+        frontier, spark.createDataFrame([], "host string, max_fetches_per_round int"), budget
+    )
+    scheduled.persist()
+    fetched = scheduled.join(pages, "url_canon", "inner")
+    outlinks = fetched.select(
+        "url_canon",
+        F.posexplode(outlinks_expr(F.col("url_canon"), F.col("html"))).alias("pos", "child"),
+    )
+    n_outlinks = outlinks.count()
+    n_scheduled = scheduled.count()  # served from cache, no recompute
+    wall = time.monotonic() - t0
+
+    scheduled.unpersist()
+    seen.unpersist()
+    pages.unpersist()
+    if bloom is not None:
+        bloom.unpersist()
+    return {
+        "n_urls": n_urls,
+        "n_hosts": n_hosts,
+        "urls_scheduled": n_scheduled,
+        "outlinks": n_outlinks,
+        "round_wall_sec": round(wall, 3),
+        "urls_scheduled_per_sec": round(n_scheduled / wall, 1),
+        "urls_in_per_sec": round(n_urls / wall, 1),
+    }

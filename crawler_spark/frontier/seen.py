@@ -109,32 +109,39 @@ class BloomState:
     def probe(self, candidates: DataFrame, bloom_df: DataFrame) -> DataFrame:
         """Adds ``maybe_seen`` boolean to candidates ``(…, bucket, url_hash)``.
 
-        The bloom table is tiny (n_buckets rows) → broadcast join, then a
-        vectorized numpy membership test per Arrow batch.
+        Implemented as a per-bucket cogroup (NOT a join): joining the bitmap
+        column onto every candidate row would ship ``rows × bitmap_bytes``
+        through Arrow — at 10^6 rows × 512 KiB bitmaps that is hundreds of
+        GiB. Cogrouping by bucket moves each bitmap across to Python exactly
+        once per bucket partition, and the candidates are already
+        partitioned by bucket in the scheduler, so this shuffle is the
+        state-table co-partitioning, not an extra one.
         """
         n_bits = self.n_bits
+        out_schema = StructType(list(candidates.schema.fields) + [StructField("maybe_seen", BooleanType())])
+        cand_cols = [f.name for f in candidates.schema.fields]
 
-        @F.pandas_udf(BooleanType())
-        def contains(url_hash: pd.Series, bitmap: pd.Series) -> pd.Series:
-            out = np.zeros(len(url_hash), dtype=bool)
-            if len(url_hash) == 0:
-                return pd.Series(out)
-            hashes = url_hash.to_numpy(dtype=np.int64)
-            # group rows by identical bitmap blob (normally 1-2 per batch)
-            blobs = bitmap.map(lambda b: bytes(b) if b is not None else None)
-            for blob in blobs.dropna().unique():
-                mask = (blobs == blob).to_numpy()
-                bm = np.frombuffer(blob, dtype=np.uint64)
-                out[mask] = _test_bits(bm, hashes[mask], n_bits)
-            return pd.Series(out)
+        def check(cand_pdf: pd.DataFrame, bloom_pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(cand_pdf) == 0:
+                return pd.DataFrame(columns=[*cand_cols, "maybe_seen"])
+            blobs = bloom_pdf["bitmap"].dropna() if len(bloom_pdf) else []
+            if len(blobs) == 0:
+                cand_pdf = cand_pdf.copy()
+                cand_pdf["maybe_seen"] = False
+                return cand_pdf
+            bitmap = np.zeros(n_bits // 64, dtype=np.uint64)
+            for blob in blobs:
+                bitmap |= np.frombuffer(bytes(blob), dtype=np.uint64)
+            hashes = cand_pdf["url_hash"].to_numpy(dtype=np.int64)
+            cand_pdf = cand_pdf.copy()
+            cand_pdf["maybe_seen"] = _test_bits(bitmap, hashes, n_bits)
+            return cand_pdf
 
-        joined = candidates.join(F.broadcast(bloom_df), "bucket", "left")
-        return joined.withColumn(
-            "maybe_seen",
-            F.when(F.col("bitmap").isNull(), F.lit(False)).otherwise(
-                contains(F.col("url_hash"), F.col("bitmap"))
-            ),
-        ).drop("bitmap")
+        return (
+            candidates.groupBy("bucket")
+            .cogroup(bloom_df.groupBy("bucket"))
+            .applyInPandas(check, out_schema)
+        )
 
 
 def filter_unseen(

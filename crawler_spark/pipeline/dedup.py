@@ -236,18 +236,23 @@ def hamming64_expr(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_near_dups(sim: DataFrame, id_col: str, max_hamming: int = 3) -> DataFrame:
+def simhash_near_dups(
+    sim: DataFrame, id_col: str, max_hamming: int = 3, bits: int = 64, blocks: int = 4
+) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance.
 
-    Scale path: block by the high 16 bits of the simhash (two docs within
-    Hamming r of each other agree on at least one of r+1 disjoint bit
-    blocks — the classic Charikar rotation trick; we implement the block
-    join for ⌈bits/16⌉ blocks). Avoids the all-pairs cross join.
+    Scale path: two docs within Hamming r of each other agree exactly on at
+    least one of r+1 disjoint bit blocks (the classic Charikar block
+    trick) — so ``blocks`` must be ≥ max_hamming+1 and the pair join runs
+    per (block, block-key) bucket, never across the corpus. Avoids the
+    all-pairs cross join; a pathological bucket is AQE-skew-split.
     """
-    blocks = 4
+    assert blocks >= max_hamming + 1, "need r+1 disjoint blocks to guarantee recall"
+    block_bits = bits // blocks
+    mask = (1 << block_bits) - 1
     block_rows = []
     for k in range(blocks):
-        key = F.shiftright(F.col("simhash"), k * 16).bitwiseAND(F.lit(0xFFFF))
+        key = F.shiftright(F.col("simhash"), k * block_bits).bitwiseAND(F.lit(mask))
         block_rows.append(
             sim.select(
                 F.col(id_col).alias("doc"),
