@@ -348,6 +348,17 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways: whitespace tokens + BPE-ish subword pieces
+    (GPT-2-shaped pre-tokenizer regex) — the LLM-token-cost proxy."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        ts.token_count_expr(F.col("text")).cast("long").alias("n_ws_tokens"),
+        ts.subword_count_expr(F.col("text")).cast("long").alias("n_subword_tokens"),
+    )
+
+
 def q_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     feats = ts.quality_features(F.col("text"))
@@ -477,6 +488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
         "text_quality": q_text_quality,
+        "token_counts": q_token_counts,
         "quality_by_source": q_quality_by_source,
         # rows-only (stateful / approximate / stubbed decode)
         "crawl_bsp_rounds": q_crawl_bsp_rounds,
@@ -784,5 +796,11 @@ r AS (SELECT *, row_number() OVER (
         PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM s)
 SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5""",
         "text_quality": _sql_text_quality(),
+        "token_counts": (
+            f"SELECT doc_id, len({_TOKS})::BIGINT AS n_ws_tokens, "
+            "len(regexp_extract_all(lower(text), "
+            f"'{ts.SUBWORD_PATTERN.replace(chr(39), chr(39) * 2)}'))::BIGINT "
+            "AS n_subword_tokens FROM documents"
+        ),
         "quality_by_source": _sql_quality_by_source(),
     }

@@ -68,6 +68,10 @@ def make_spark(cpus: int):
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Python-UDF cost per byte is ~100× JVM cost: AQE's default 64 MB
+        # advisory target coalesces a few-MB shuffle into 1-2 partitions and
+        # strangles downstream pandas-UDF stages. 2 MB keeps UDF stages wide.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
         .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")

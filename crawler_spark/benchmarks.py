@@ -65,20 +65,30 @@ def synth_frontier(spark: SparkSession, n_urls: int, n_hosts: int) -> DataFrame:
     )
 
 
-def synth_pages(urls: DataFrame) -> DataFrame:
-    """Corpus for fetch-as-join: one small html body per canonical URL with
-    three outlinks (relative, absolute same-host, cross-host)."""
+def synth_pages(urls: DataFrame, links_per_page: int = 3, filler_words: int = 60) -> DataFrame:
+    """Corpus for fetch-as-join: one html body per canonical URL mixing
+    relative, absolute same-host, and cross-host outlinks plus filler prose
+    (Common-Crawl-ish pages carry tens of links in KBs of html — page
+    richness sets the Python-CPU : shuffle-byte ratio of the round)."""
+    link_exprs = []
+    fmt_parts = []
+    for j in range(links_per_page):
+        kind = j % 3
+        if kind == 0:
+            fmt_parts.append('<a href="/p/%d">n</a> ')
+            link_exprs.append(F.col("id") + F.lit(j + 1))
+        elif kind == 1:
+            fmt_parts.append('<a href="https://h%d.example.com/p/%d">s</a> ')
+            link_exprs.append(F.col("host_id"))
+            link_exprs.append(F.col("id") + F.lit(j + 1))
+        else:
+            fmt_parts.append('<a href="https://h%d.example.com/">x</a> ')
+            link_exprs.append(F.pmod(F.col("id") + F.lit(j), F.lit(97)))
+    filler = " ".join(f"word{w}" for w in range(filler_words))
+    fmt = "<html><body>" + "".join(fmt_parts) + "<p>body %d " + filler + "</p></body></html>"
     return urls.select(
         F.lower(F.regexp_replace("url", ":443", "")).alias("url_canon"),
-        F.format_string(
-            '<html><body><a href="/p/%d">n</a> <a href="https://h%d.example.com/p/%d">s</a>'
-            ' <a href="https://h%d.example.com/">x</a><p>body %d</p></body></html>',
-            F.col("id") + 1,
-            F.col("host_id"),
-            F.col("id") + 2,
-            F.pmod(F.col("id"), F.lit(97)),
-            F.col("id"),
-        ).alias("html"),
+        F.format_string(fmt, *link_exprs, F.col("id")).alias("html"),
     )
 
 
@@ -90,14 +100,18 @@ def frontier_round_kernel(
     budget: int = 512,
     n_buckets: int = 32,
     use_bloom: bool = True,
+    links_per_page: int = 12,
+    filler_words: int = 60,
 ) -> dict:
     """One frontier round at scale; returns timings + throughput.
 
     ``seen_every``: every k-th generated URL is pre-marked seen (exercises
     the Bloom prefilter + exact anti-join on a realistic revisit rate).
+    ``links_per_page``/``filler_words`` control page richness (real pages
+    carry tens of links in KBs of html).
     """
     raw = synth_frontier(spark, n_urls, n_hosts)
-    pages = synth_pages(raw)
+    pages = synth_pages(raw, links_per_page=links_per_page, filler_words=filler_words)
 
     # pre-seen state: every k-th URL, already canonical
     seen = (
@@ -147,7 +161,13 @@ def frontier_round_kernel(
         frontier, spark.createDataFrame([], "host string, max_fetches_per_round int"), budget
     )
     scheduled.persist()
-    fetched = scheduled.join(pages, "url_canon", "inner")
+    # fetch-as-join: broadcast the SCHEDULED side (budget-bounded per round)
+    # so the html-bearing corpus is probed map-side and never shuffled;
+    # then widen before the Python-UDF stage: the join output is modest in
+    # bytes so AQE would coalesce it, but outlink parsing is priced per ROW.
+    fetched = pages.join(F.broadcast(scheduled), "url_canon", "inner").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     outlinks = fetched.select(
         "url_canon",
         F.posexplode(outlinks_expr(F.col("url_canon"), F.col("html"))).alias("pos", "child"),

@@ -67,11 +67,100 @@ def extract_outlinks(base_url: str, html: str) -> list[str]:
     return out
 
 
+# --- vectorized batch kernels ------------------------------------------------
+#
+# north_star forbids per-row Python: the batch kernels below run pandas
+# .str vectorized ops over the whole Arrow batch, with a per-row fallback
+# ONLY for rare shapes (userinfo, IPv6, out-of-range ports, exotic
+# relatives) — byte-equality with the pure-Python kernels is pinned by
+# tests/test_frontier.py.
+
+# "simple" URL: scheme://host[:port][/path][?query][#frag], no userinfo,
+# no IPv6 brackets — covers essentially every crawl-frontier URL.
+_FAST_URL_RE = re.compile(
+    r"^([A-Za-z][A-Za-z0-9+.\-]*)://([A-Za-z0-9.\-]*)(?::([0-9]{1,5}))?"
+    r"(/[^?#]*)?(?:\?([^#]*))?(?:#.*)?$"
+)
+
+
+def _canon_batch(urls: pd.Series) -> pd.Series:
+    """Vectorized :func:`canonicalize_url` over a batch."""
+    s = urls.fillna("").str.strip()
+    m = s.str.extract(_FAST_URL_RE)
+    port_num = pd.to_numeric(m[2], errors="coerce")
+    fast = m[0].notna() & (m[2].isna() | (port_num <= 65535))
+    out = pd.Series(index=s.index, dtype=object)
+    if fast.any():
+        scheme = m.loc[fast, 0].str.lower()
+        host = m.loc[fast, 1].str.lower()
+        default = scheme.map(_DEFAULT_PORTS)
+        pn = port_num[fast]
+        keep_port = pn.notna() & (pn.astype("Int64").astype(str) != default)
+        port_sfx = pd.Series("", index=scheme.index)
+        port_sfx[keep_port] = ":" + pn[keep_port].astype("Int64").astype(str)
+        path = m.loc[fast, 3].fillna("/")
+        query = m.loc[fast, 4]
+        q_sfx = pd.Series("", index=scheme.index)
+        # empty query string is dropped entirely (urlunsplit omits bare '?')
+        has_q = query.notna() & (query != "")
+        q_sfx[has_q] = "?" + query[has_q]
+        out[fast] = scheme + "://" + host + port_sfx + path + q_sfx
+    slow = ~fast
+    if slow.any():
+        out[slow] = s[slow].map(canonicalize_url)
+    return out
+
+
+def _resolve_batch(base: pd.Series, href: pd.Series) -> pd.Series:
+    """Vectorized urljoin for the two dominant shapes (absolute URL,
+    root-relative path); everything else falls back to urljoin per row."""
+    out = pd.Series(index=href.index, dtype=object)
+    is_abs = href.str.match(r"[A-Za-z][A-Za-z0-9+.\-]*://")
+    out[is_abs] = href[is_abs]
+    root_rel = href.str.startswith("/") & ~href.str.startswith("//")
+    origin = base.str.extract(r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)")[0]
+    ok = root_rel & origin.notna() & out.isna()
+    out[ok] = origin[ok] + href[ok]
+    rest = out.isna()
+    if rest.any():
+        out[rest] = [urljoin(b, h) for b, h in zip(base[rest], href[rest])]
+    return out
+
+
+def _outlinks_batch(base: pd.Series, html: pd.Series) -> pd.Series:
+    """Vectorized :func:`extract_outlinks` over a batch: extractall for the
+    href scan, batch resolve + canonicalize, per-page first-occurrence
+    dedup — document order preserved by the (row, match) index."""
+    base = base.fillna("")
+    html = html.fillna("")
+    empty: pd.Series = pd.Series([[] for _ in range(len(base))], index=base.index)
+    hits = html.str.extractall(_HREF_RE)
+    if len(hits) == 0:
+        return empty
+    href = hits[0].str.strip()
+    row_idx = hits.index.get_level_values(0)
+    keep = (href != "") & ~href.str.startswith(("#", "javascript:", "mailto:"))
+    href, row_idx = href[keep], row_idx[keep.to_numpy()]
+    if len(href) == 0:
+        return empty
+    resolved = _resolve_batch(base.loc[row_idx].set_axis(href.index), href)
+    canon = _canon_batch(resolved)
+    keep2 = canon.str.startswith(("http://", "https://"))
+    flat = pd.DataFrame(
+        {"row": row_idx[keep2.to_numpy()], "url": canon[keep2].to_numpy()}
+    )
+    flat = flat.drop_duplicates(subset=["row", "url"], keep="first")
+    grouped = flat.groupby("row", sort=False)["url"].agg(list)
+    out = empty.copy()
+    out.update(grouped)
+    return out
+
+
 # --- Spark expressions -------------------------------------------------------
 
 @pandas_udf(StringType())
 def _canon_udf(urls: pd.Series) -> pd.Series:
-    return urls.map(lambda u: canonicalize_url(u) if u is not None else "")
+    return _canon_batch(urls)
 
 
 def canon_expr(url_col: Column) -> Column:
@@ -96,12 +185,7 @@ def host_bucket_expr(host_col: Column, n_buckets: int) -> Column:
 
 @pandas_udf(ArrayType(StringType()))
 def _outlinks_udf(base: pd.Series, html: pd.Series) -> pd.Series:
-    return pd.Series(
-        [
-            extract_outlinks(b if b is not None else "", h if h is not None else "")
-            for b, h in zip(base, html)
-        ]
-    )
+    return _outlinks_batch(base, html)
 
 
 def outlinks_expr(url_col: Column, html_col: Column) -> Column:

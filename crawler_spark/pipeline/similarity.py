@@ -55,20 +55,30 @@ def cosine_topk(
     |corpus|·|queries| pairs map-side; only (query, candidate, sim) tuples
     reach the top-k window. Self-matches excluded. Ties broken by neighbour
     id for a fully deterministic result.
+
+    Array higher-order functions are interpreted (not codegen), so the
+    per-PAIR work is held to one dot product: norms and double-casts are
+    precomputed per ROW before the join — bit-identical result (same fold
+    order), |corpus|+|queries| folds instead of 2·|pairs|.
     """
+    as_double = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    )
+        F.col(id_col).alias("query_id"), as_double.alias("qvec")
+    ).withColumn("qnorm", norm_expr(F.col("qvec")))
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
-    )
+        F.col(id_col).alias("neighbor_id"), as_double.alias("cvec")
+    ).withColumn("cnorm", norm_expr(F.col("cvec")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_expr(F.col("qvec"), F.col("cvec")), 6).alias("cosine"),
+            F.round(
+                dot_expr(F.col("qvec"), F.col("cvec"))
+                / (F.col("qnorm") * F.col("cnorm")),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -130,23 +140,28 @@ def lsh_bucketed_topk(
             corpus.select(F.col(vec_col)).first()[0]
         )
     planes = _hyperplanes(n_planes, dim, seed)
+    as_double = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cvec"),
+        as_double.alias("cvec"),
         lsh_bucket_expr(F.col(vec_col), planes).alias("bucket"),
-    )
+    ).withColumn("cnorm", norm_expr(F.col("cvec")))
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
+        as_double.alias("qvec"),
         lsh_bucket_expr(F.col(vec_col), planes).alias("bucket"),
-    )
+    ).withColumn("qnorm", norm_expr(F.col("qvec")))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_expr(F.col("qvec"), F.col("cvec")), 6).alias("cosine"),
+            F.round(
+                dot_expr(F.col("qvec"), F.col("cvec"))
+                / (F.col("qnorm") * F.col("cnorm")),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -37,9 +37,24 @@ def tokens_expr(text: Column) -> Column:
 
 
 def token_count_expr(text: Column) -> Column:
-    """Whitespace token count (the BPE-ish regex variant is ``F.size`` over
-    ``regexp_extract_all`` with a subword pattern — same shape, same cost)."""
+    """Whitespace token count (see :func:`subword_count_expr` for the
+    BPE-ish variant — same shape, same cost)."""
     return F.size(tokens_expr(text))
+
+
+# GPT-2-style pre-tokenizer shape: contraction suffixes, letter runs, digit
+# runs, punctuation runs (optionally space-prefixed). Constructs restricted
+# to what Java regex and RE2 (DuckDB) evaluate identically.
+SUBWORD_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+"
+
+
+def subword_count_expr(text: Column) -> Column:
+    """BPE-ish subword token count: how many pre-tokenizer pieces the text
+    splits into — the standard proxy for LLM token cost of a document.
+    Pure ``regexp_extract_all`` → whole-stage codegen, no Python."""
+    return F.size(
+        F.regexp_extract_all(F.lower(text), F.lit("(" + SUBWORD_PATTERN + ")"), 1)
+    )
 
 
 def stopword_count_expr(text: Column, lang: str) -> Column:

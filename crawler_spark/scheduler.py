@@ -262,9 +262,24 @@ def crawl(
             frontier, politeness, cfg.default_budget
         )
 
-        fetched = scheduled.join(corpus, "url_canon", "left").withColumn(
-            "fetched", F.col("html").isNotNull()
+        # Fetch-as-join. The scheduled set is budget-bounded (≤ hosts ×
+        # max_fetches_per_round), so broadcast it and probe the html-bearing
+        # corpus MAP-SIDE — the corpus, whose rows carry the page bodies, is
+        # never shuffled (a sort-merge join here ships the whole corpus
+        # through the shuffle every round). At warehouse scale the broadcast
+        # doubles as a runtime filter pruning the Iceberg scan. Left-outer
+        # semantics (miss = fetch failure) are recovered with a cheap
+        # anti-join of the two small sides.
+        ok = corpus.join(F.broadcast(scheduled), "url_canon", "inner").withColumn(
+            "fetched", F.lit(True)
         )
+        ok.persist()
+        miss = (
+            scheduled.join(F.broadcast(ok.select("url_canon")), "url_canon", "left_anti")
+            .withColumn("html", F.lit(None).cast("string"))
+            .withColumn("fetched", F.lit(False))
+        )
+        fetched = ok.unionByName(miss.select(*ok.columns))
         fetched.persist()
 
         schedule_log = fetched.select(
@@ -277,8 +292,14 @@ def crawl(
         )
         _write_state(schedule_log, _ckpt(cfg, rnd, "schedule"))
 
-        # outlink expansion: order key = (parent rank in schedule, position)
-        parents = fetched.filter(F.col("fetched"))
+        # outlink expansion: order key = (parent rank in schedule, position).
+        # Repartition before the Arrow UDF: outlink parsing is priced per
+        # row (Python regex/pandas), not per byte, so AQE's byte-targeted coalescing
+        # under-parallelizes it on small rounds; the round's parent set is
+        # bounded by the fetch budget, so this shuffle is cheap at any scale.
+        parents = fetched.filter(F.col("fetched")).repartition(
+            spark.sparkContext.defaultParallelism
+        )
         links = parents.select(
             F.col("priority").alias("parent_priority"),
             F.col("seq").alias("parent_seq"),
@@ -348,6 +369,7 @@ def crawl(
         n_admitted = new_entries.count()
         seq_offset += n_admitted
         fetched.unpersist()
+        ok.unpersist()
         fresh.unpersist()
 
         _write_manifest(

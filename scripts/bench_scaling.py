@@ -24,9 +24,12 @@ sys.path.insert(0, {repo!r})
 from bench import make_spark
 from crawler_spark.benchmarks import frontier_round_kernel
 spark = make_spark({cpus})
-# warm-up (JIT, python worker fork pool), then two measured runs; best-of-2
+# warm-up (JIT, python worker fork pool), then three measured runs; best-of.
+# n_hosts sized so the politeness cap admits ~the whole frontier — the
+# measured quantity is scheduling+fetch+parse throughput, not deferral.
 frontier_round_kernel(spark, n_urls={n_urls} // 10)
-runs = [frontier_round_kernel(spark, n_urls={n_urls}) for _ in range(2)]
+frontier_round_kernel(spark, n_urls={n_urls}, n_hosts=4000)
+runs = [frontier_round_kernel(spark, n_urls={n_urls}, n_hosts=4000) for _ in range(3)]
 best = min(runs, key=lambda r: r["round_wall_sec"])
 print("KERNEL_RESULT " + json.dumps(best))
 spark.stop()
@@ -35,8 +38,13 @@ spark.stop()
 
 def run_at(cpus: int, n_urls: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    # Pin the process tree to exactly `cpus` hardware threads: without this
+    # the local[8] JVM still spreads GC/shuffle/netty threads and Python
+    # workers over all 32 cores, and the "small cluster" silently gets the
+    # big cluster's hardware — efficiency numbers would be meaningless.
+    cmd = ["taskset", "-c", f"0-{cpus - 1}"] if os.path.exists("/usr/bin/taskset") else []
     out = subprocess.run(
-        [sys.executable, "-c", RUNNER.format(repo=REPO, cpus=cpus, n_urls=n_urls)],
+        [*cmd, sys.executable, "-c", RUNNER.format(repo=REPO, cpus=cpus, n_urls=n_urls)],
         env=env,
         capture_output=True,
         text=True,
@@ -50,9 +58,18 @@ def run_at(cpus: int, n_urls: int) -> dict:
 
 def main() -> int:
     n_urls = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
-    r8 = run_at(8, n_urls)
+    # two interleaved process-level repetitions per leg, best-of: wall-time
+    # variance on this shared VM spans whole processes (host scheduling,
+    # turbo), not just tasks, so best-of within one JVM is not enough
+    best: dict[int, dict] = {}
+    for attempt in range(2):
+        for cpus in (8, 32):
+            r = run_at(cpus, n_urls)
+            print(f"local[{cpus}] try{attempt} ", json.dumps(r), flush=True)
+            if cpus not in best or r["round_wall_sec"] < best[cpus]["round_wall_sec"]:
+                best[cpus] = r
+    r8, r32 = best[8], best[32]
     print("local[8] ", json.dumps(r8), flush=True)
-    r32 = run_at(32, n_urls)
     print("local[32]", json.dumps(r32), flush=True)
     thr8, thr32 = r8["urls_in_per_sec"], r32["urls_in_per_sec"]
     eff = (thr32 / thr8) / 4.0

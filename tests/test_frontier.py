@@ -138,3 +138,84 @@ def test_politeness_budget_split(spark):
     # h1: budget 3 → u0,u1,u2 (priority 0, seq order); low_prio deferred last
     assert s == {"u0", "u1", "u2", "v0"}
     assert d == {"u3", "u4", "low_prio"}
+
+
+ADVERSARIAL_URLS = [
+    "HTTPS://Host0.EXAMPLE:443/p/1#frag",
+    "http://a.example:80/x?q=1#f",
+    "http://a.example:8080/",
+    "https://a.example",
+    "",
+    "https://a.example/x?b=2&a=1",
+    "http://a.example:0080/x",          # leading-zero default port
+    "http://user:pw@a.example/x",        # userinfo → slow path
+    "http://[2001:db8::1]:8080/x",       # IPv6 → slow path
+    "ftp://A.Example:21/f",              # non-http scheme keeps port logic
+    "https://under_score.example/x",     # invalid host charset → slow path
+    "   https://pad.example/x  ",        # surrounding whitespace
+    "https://a.example/p?""",
+    "relative/only",
+    "//protocol.relative/x",
+    "https://a.example:/emptyport",
+    "javascript:void(0)",
+]
+
+
+def test_canon_batch_matches_kernel():
+    """The vectorized batch kernel is byte-equal to the pure-Python kernel
+    on adversarial URLs (fast path + every slow-path trigger)."""
+    import pandas as pd
+
+    from crawler_spark.frontier.canon import _canon_batch
+
+    got = _canon_batch(pd.Series(ADVERSARIAL_URLS)).tolist()
+    want = [canonicalize_url(u) for u in ADVERSARIAL_URLS]
+    assert got == want
+
+
+def test_outlinks_batch_matches_kernel():
+    import pandas as pd
+
+    from crawler_spark.frontier.canon import _outlinks_batch
+
+    pages = [
+        ("https://a.example/root", '<a href="/b">1</a><a href="https://o.example/z">2</a>'
+         '<a href="/b">dup</a><a href="#f">s</a><a href="HTTPS://A.EXAMPLE/c">3</a>'),
+        ("https://h.example/a/b", '<a href="c">rel</a><a href="mailto:x">m</a>'
+         '<a href="//proto.example/p">pr</a><a href="../up">up</a>'),
+        ("https://e.example/", ""),
+        ("https://n.example/", "<p>no links</p>"),
+        ("https://q.example/x?y=1", '<a href="/only">one</a>'),
+    ]
+    base = pd.Series([p[0] for p in pages])
+    html = pd.Series([p[1] for p in pages])
+    got = _outlinks_batch(base, html).tolist()
+    want = [extract_outlinks(b, h) for b, h in pages]
+    assert got == want
+
+
+def test_canon_batch_hypothesis():
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from crawler_spark.frontier.canon import _canon_batch
+
+    url_st = st.one_of(
+        st.from_regex(r"https?://[A-Za-z0-9.\-]{1,20}(:[0-9]{1,4})?(/[a-z0-9/.]{0,20})?(\?[a-z=&]{0,10})?(#[a-z]{0,5})?", fullmatch=True),
+        st.text(alphabet="abc:/?#@.%", max_size=30),
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(url_st, min_size=1, max_size=20))
+    def inner(urls):
+        want = []
+        for u in urls:
+            try:
+                want.append(canonicalize_url(u))
+            except ValueError:
+                return  # kernel itself rejects (e.g. bad port) — skip
+        got = _canon_batch(pd.Series(urls)).tolist()
+        assert got == want
+
+    inner()
