@@ -65,7 +65,9 @@ def make_spark(cpus: int):
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"crawler-spark-bench-{cpus}")
-        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        # 4× cores: fine-grained tasks even out stragglers on a noisy box;
+        # AQE coalesces any that come out too small.
+        .config("spark.sql.shuffle.partitions", str(max(4 * cpus, 16)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # Python-UDF cost per byte is ~100× JVM cost: AQE's default 64 MB

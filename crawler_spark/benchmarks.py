@@ -29,9 +29,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from crawler_spark.frontier.canon import (
     canon_expr,
+    flat_outlinks,
     host_bucket_expr,
     host_expr,
-    outlinks_expr,
     url_hash_expr,
 )
 from crawler_spark.frontier.politeness import apply_politeness_budget
@@ -165,13 +165,17 @@ def frontier_round_kernel(
     # so the html-bearing corpus is probed map-side and never shuffled;
     # then widen before the Python-UDF stage: the join output is modest in
     # bytes so AQE would coalesce it, but outlink parsing is priced per ROW.
-    fetched = pages.join(F.broadcast(scheduled), "url_canon", "inner").repartition(
-        spark.sparkContext.defaultParallelism
+    # Fetch-as-join, kernel form: downstream only needs (url_canon, html),
+    # so a LEFT SEMI broadcast of just the key column suffices — the driver
+    # collects/broadcasts ~url-strings only (not the full scheduled rows),
+    # shrinking the serial broadcast-build fraction, and the pages side
+    # keeps its already-balanced scan partitioning (no shuffle, no
+    # repartition: the politeness filter's selectivity is uniform across
+    # partitions).
+    fetched = pages.join(
+        F.broadcast(scheduled.select("url_canon")), "url_canon", "left_semi"
     )
-    outlinks = fetched.select(
-        "url_canon",
-        F.posexplode(outlinks_expr(F.col("url_canon"), F.col("html"))).alias("pos", "child"),
-    )
+    outlinks = flat_outlinks(fetched.select("url_canon", "html"), ["url_canon"])
     n_outlinks = outlinks.count()
     n_scheduled = scheduled.count()  # served from cache, no recompute
     wall = time.monotonic() - t0

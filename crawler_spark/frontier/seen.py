@@ -106,6 +106,43 @@ class BloomState:
             .applyInPandas(fold, BLOOM_SCHEMA)
         )
 
+    def probe_broadcast(self, candidates: DataFrame, bloom_df: DataFrame) -> DataFrame:
+        """Map-side Bloom probe: ship all bucket bitmaps to every executor as
+        a broadcast variable and test candidates in place — ZERO shuffle.
+
+        Right whenever the whole filter fits executor memory (n_buckets ×
+        bits/8 bytes; 32 × 512 KiB = 16 MiB here). At 10^10-URL scale the
+        filter is ~12 GiB and must stay partitioned → :meth:`probe`. The
+        scheduler picks per :func:`filter_unseen`'s threshold.
+        """
+        spark = candidates.sparkSession
+        n_bits = self.n_bits
+        rows = bloom_df.collect()
+        bitmaps = {
+            int(r["bucket"]): np.frombuffer(bytes(r["bitmap"]), dtype=np.uint64)
+            for r in rows
+            if r["bitmap"] is not None
+        }
+        bc = spark.sparkContext.broadcast(bitmaps)
+
+        @F.pandas_udf(BooleanType())
+        def _probe_udf(bucket: pd.Series, url_hash: pd.Series) -> pd.Series:
+            bms = bc.value
+            out = np.zeros(len(bucket), dtype=bool)
+            b_np = bucket.to_numpy()
+            h_np = url_hash.to_numpy(dtype=np.int64)
+            for b in np.unique(b_np):
+                bm = bms.get(int(b))
+                if bm is None or len(bm) == 0:
+                    continue
+                mask = b_np == b
+                out[mask] = _test_bits(bm, h_np[mask], n_bits)
+            return pd.Series(out)
+
+        return candidates.withColumn(
+            "maybe_seen", _probe_udf(F.col("bucket"), F.col("url_hash"))
+        )
+
     def probe(self, candidates: DataFrame, bloom_df: DataFrame) -> DataFrame:
         """Adds ``maybe_seen`` boolean to candidates ``(…, bucket, url_hash)``.
 
@@ -144,6 +181,11 @@ class BloomState:
         )
 
 
+# Below this total filter size, probe via broadcast bitmaps (map-side, no
+# shuffle); above it, per-bucket cogroup keeps each bitmap on its partition.
+BLOOM_BROADCAST_MAX_BYTES = 256 << 20
+
+
 def filter_unseen(
     candidates: DataFrame,
     seen: DataFrame,
@@ -162,7 +204,10 @@ def filter_unseen(
     key = ["url_hash", "url_canon"]
     if bloom is None or bloom_state is None:
         return candidates.join(seen.select(*key), key, "left_anti")
-    probed = bloom_state.probe(candidates, bloom)
+    if bloom_state.n_buckets * bloom_state.n_bits // 8 <= BLOOM_BROADCAST_MAX_BYTES:
+        probed = bloom_state.probe_broadcast(candidates, bloom)
+    else:
+        probed = bloom_state.probe(candidates, bloom)
     definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     survivors = maybe.join(seen.select(*key), key, "left_anti")

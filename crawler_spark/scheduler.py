@@ -44,9 +44,9 @@ from pyspark.sql.types import (
 
 from crawler_spark.frontier.canon import (
     canon_expr,
+    flat_outlinks,
     host_bucket_expr,
     host_expr,
-    outlinks_expr,
     url_hash_expr,
 )
 from crawler_spark.frontier.politeness import apply_politeness_budget, robots_allowed
@@ -297,16 +297,15 @@ def crawl(
         # row (Python regex/pandas), not per byte, so AQE's byte-targeted coalescing
         # under-parallelizes it on small rounds; the round's parent set is
         # bounded by the fetch budget, so this shuffle is cheap at any scale.
-        parents = fetched.filter(F.col("fetched")).repartition(
-            spark.sparkContext.defaultParallelism
-        )
-        links = parents.select(
+        parents = fetched.filter(F.col("fetched")).select(
             F.col("priority").alias("parent_priority"),
             F.col("seq").alias("parent_seq"),
-            F.posexplode(outlinks_expr(F.col("url_canon"), F.col("html"))).alias(
-                "pos", "child_url"
-            ),
-        )
+            "url_canon",
+            "html",
+        ).repartition(spark.sparkContext.defaultParallelism)
+        # flat mapInPandas expansion: href scan stays JVM-side, no per-page
+        # list rebuild + re-explode (see frontier.canon.flat_outlinks)
+        links = flat_outlinks(parents, ["parent_priority", "parent_seq"])
         # first-occurrence order across the batch follows the schedule order
         # (parent_priority, parent_seq), then in-page position — encode the
         # pair (priority, seq) into one sortable long: seq is globally unique

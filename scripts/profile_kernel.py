@@ -1,0 +1,117 @@
+"""Stage-level profile of the frontier-round kernel at one parallelism.
+
+Breaks the timed region of crawler_spark.benchmarks.frontier_round_kernel
+into separately-materialized stages so a non-scaling stage is visible when
+comparing local[8] vs local[32] (run under taskset like bench_scaling.py).
+
+Usage: taskset -c 0-7 python scripts/profile_kernel.py 8 [n_urls]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bench import make_spark  # noqa: E402
+from crawler_spark.benchmarks import synth_frontier, synth_pages  # noqa: E402
+from crawler_spark.frontier.canon import (  # noqa: E402
+    canon_expr,
+    host_bucket_expr,
+    host_expr,
+    outlinks_expr,
+    url_hash_expr,
+)
+from crawler_spark.frontier.politeness import apply_politeness_budget  # noqa: E402
+from crawler_spark.frontier.seen import BloomState, filter_unseen  # noqa: E402
+from crawler_spark.scheduler import _dedup_candidates  # noqa: E402
+
+
+def main() -> int:
+    cpus = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    n_urls = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+    n_hosts, n_buckets, budget, seen_every = 4000, 32, 512, 3
+    spark = make_spark(cpus)
+
+    raw = synth_frontier(spark, n_urls, n_hosts)
+    pages = synth_pages(raw, links_per_page=12, filler_words=60)
+    seen = (
+        raw.filter(F.pmod("id", F.lit(seen_every)) == 0)
+        .select(F.lower(F.regexp_replace("url", ":443", "")).alias("url_canon"))
+        .withColumn("host", host_expr(F.col("url_canon")))
+        .withColumn("bucket", host_bucket_expr(F.col("host"), n_buckets))
+        .withColumn("url_hash", url_hash_expr(F.col("url_canon")))
+        .select("url_hash", "bucket", "url_canon")
+    )
+    bloom_state = BloomState(n_buckets, 1 << 22)
+    bloom = bloom_state.merge(bloom_state.empty(spark), seen.select("bucket", "url_hash"))
+    bloom.persist().count()
+    seen.persist().count()
+    pages.persist().count()
+
+    # warm-up: full chain once, untimed
+    def build():
+        cands = raw.select(
+            canon_expr(F.col("url")).alias("url_canon"),
+            F.lit(0).alias("priority"),
+            F.col("id").alias("first_occ_a"),
+            F.lit(0).cast("long").alias("first_occ_b"),
+        )
+        cands = (
+            cands.withColumn("host", host_expr(F.col("url_canon")))
+            .withColumn("bucket", host_bucket_expr(F.col("host"), n_buckets))
+            .withColumn("url_hash", url_hash_expr(F.col("url_canon")))
+        )
+        return cands
+
+    stages = {}
+
+    def mat(name, df):
+        t0 = time.monotonic()
+        df.persist()
+        n = df.count()
+        stages[name] = {"sec": round(time.monotonic() - t0, 3), "rows": n}
+        return df
+
+    for attempt in range(2):  # first pass = warm-up, second = measured
+        stages = {}
+        t_all = time.monotonic()
+        cands = mat("canon+hash", build())
+        dedup = mat("dedup", _dedup_candidates(cands))
+        fresh = mat("bloom+anti", filter_unseen(dedup, seen, bloom, bloom_state))
+        frontier = fresh.select(
+            "url_canon", "host", "bucket", "url_hash", "priority",
+            F.lit(0).alias("round_added"), F.col("first_occ_a").alias("seq"),
+        )
+        scheduled, _def = apply_politeness_budget(
+            frontier, spark.createDataFrame([], "host string, max_fetches_per_round int"), budget
+        )
+        scheduled = mat("politeness", scheduled)
+        fetched = pages.join(F.broadcast(scheduled), "url_canon", "inner").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        fetched = mat("fetch_join_bcast", fetched)
+        out = fetched.select(
+            "url_canon",
+            F.posexplode(outlinks_expr(F.col("url_canon"), F.col("html"))).alias("pos", "child"),
+        )
+        t0 = time.monotonic()
+        n_out = out.count()
+        stages["outlinks"] = {"sec": round(time.monotonic() - t0, 3), "rows": n_out}
+        total = round(time.monotonic() - t_all, 3)
+        for df in (cands, dedup, fresh, scheduled, fetched):
+            df.unpersist()
+        if attempt == 1:
+            print(json.dumps({"cpus": cpus, "n_urls": n_urls, "total": total, "stages": stages}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
