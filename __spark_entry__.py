@@ -86,6 +86,69 @@ def q_rule_cut_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", rule.first_expr(F.col("text")).alias("cut_val"))
 
 
+def q_rule_const(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 constStringRule (ruler/const_string.go:3-23): constant projection
+    regardless of content — ``F.lit`` in the field list."""
+    from crawler_spark.rules.spark import ConstRule
+
+    docs = _t(spark, sf_dir, "documents")
+    rule = ConstRule("jd-category-42")
+    return docs.select("doc_id", rule.first_expr(F.col("text")).alias("const_val"))
+
+
+def q_rule_xpath_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 xPathNodeRule.GetFirst (ruler/xpath_node.go:33-60): string-value of
+    the first XPath match. documents has no html column, so the page is
+    synthesized in-query (h1 = entity-escaped substr(text,1,30)); the xpath
+    engine must parse + unescape it back, so the oracle is the raw substr."""
+    from crawler_spark.rules.spark import XPathRule, xpath_struct_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    h1 = F.substring(F.col("text"), 1, 30)
+    for raw, ent in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        h1 = F.replace(h1, F.lit(raw), F.lit(ent))
+    html = F.concat(
+        F.lit("<html><body><h1>"), h1, F.lit("</h1><p>tail</p></body></html>")
+    )
+    fields = xpath_struct_expr(html, {"h1_text": XPathRule("//h1")})
+    return docs.select("doc_id", fields["h1_text"].alias("h1_text"))
+
+
+def q_pager_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 NewPostListPager (pager.go:32-54): page range [from, to] × corpus
+    equi-join on the request key; pages missing from the corpus = failed
+    fetches, dropped silently by the inner join (pager.go:44-46)."""
+    docs = _t(spark, sf_dir, "documents")
+    pages = spark.range(1, 201).select(
+        F.col("id").alias("page_no"),
+        F.format_string("page=%d&rows=10", F.col("id")).alias("post_body"),
+    )
+    return pages.join(docs, pages.page_no == docs.doc_id, "inner").select(
+        "page_no", "post_body", F.substring("text", 1, 40).alias("body_head")
+    )
+
+
+def q_next_page_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 GetFromNextPage (util.go:54-61): derive the follow-up key, LEFT
+    join the follow-up page, apply a rule to its body — the hidden
+    per-row-fetch re-expressed as a join; fetch miss → empty string."""
+    docs = _t(spark, sf_dir, "documents")
+    rule = RegexRule(REGEX_PAT)
+    nxt = docs.select(
+        F.col("doc_id").alias("next_id"), F.col("text").alias("next_text")
+    )
+    return (
+        docs.select("doc_id", (F.col("doc_id") + 1).alias("next_id"))
+        .join(nxt, "next_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(rule.first_expr(F.col("next_text")), F.lit("")).alias(
+                "next_match"
+            ),
+        )
+    )
+
+
 def q_outlink_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1+F3 URL-collector shape: extract-all + per-page distinct + explode
     (collector-url.go:19-39) with a token pattern standing in for hrefs."""
@@ -463,7 +526,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_regex_first": q_rule_regex_first,
         "rule_regex_all_distinct": q_rule_regex_all_distinct,
         "rule_cut_first": q_rule_cut_first,
+        "rule_const": q_rule_const,
+        "rule_xpath_first": q_rule_xpath_first,
         "outlink_tokens": q_outlink_tokens,
+        # sources (SURVEY §2.1)
+        "pager_range_join": q_pager_range_join,
+        "next_page_rule": q_next_page_rule,
         # frontier primitives (SURVEY §2.3/2.5)
         "seen_anti_join": q_seen_anti_join,
         "robots_semi_join": q_robots_semi_join,
@@ -687,6 +755,21 @@ FROM documents""",
             "SELECT doc_id, unnest(list_distinct(regexp_extract_all(text, "
             f"'{TOKEN_PAT}'))) AS token FROM documents"
         ),
+        "rule_const": "SELECT doc_id, 'jd-category-42' AS const_val FROM documents",
+        "rule_xpath_first": (
+            # the Spark side escapes &,<,> into entities and the xpath
+            # engine unescapes them back — net effect: the raw substring
+            "SELECT doc_id, substr(text, 1, 30) AS h1_text FROM documents"
+        ),
+        "pager_range_join": """
+SELECT r.range AS page_no,
+       'page=' || r.range || '&rows=10' AS post_body,
+       substr(d.text, 1, 40) AS body_head
+FROM range(1, 201) r JOIN documents d ON r.range = d.doc_id""",
+        "next_page_rule": f"""
+SELECT a.doc_id,
+       coalesce(regexp_extract(b.text, '{REGEX_PAT}', 0), '') AS next_match
+FROM documents a LEFT JOIN documents b ON b.doc_id = a.doc_id + 1""",
         "seen_anti_join": (
             "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS "
             "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"

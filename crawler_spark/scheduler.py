@@ -164,25 +164,58 @@ def _dedup_candidates(cands: DataFrame) -> DataFrame:
 
 def _assign_seq(allowed: DataFrame, seq_offset: int, round_added: int) -> DataFrame:
     """Deterministic global seq for admitted urls, ordered by first
-    occurrence. Two-phase rank would go here for 10^10-scale; the window is
-    over ONE round's new urls only, which is bounded by the round's fetch
-    budget × outlinks/page, so a single window is acceptable up to ~10^8
-    new urls/round; see also _assign_seq note in SURVEY §7(d).
+    occurrence — TWO-PHASE rank, no single-partition global window:
+
+    1. range-partition + sort by the order key, so partition *p* holds a
+       contiguous key range and rows are sorted within it;
+    2. count rows per partition (tiny driver-side collect, one row per
+       partition), prefix-sum into per-partition offsets;
+    3. seq = per-partition ``row_number`` (window partitioned by
+       ``spark_partition_id()`` — parallel) + that partition's offset.
+
+    A plain ``Window.orderBy(...)`` here would funnel every row of the
+    round through ONE task; at 10^8 new urls/round that task is the whole
+    job. The extra count job reads the persisted DF once — cheap next to
+    the round's joins.
 
     Ordering contract: ADMISSION order only — (first_occ_a, first_occ_b) =
     (seed seq) for seeds, (parent schedule rank, in-page position) for
     outlinks. The candidate's own priority must NOT reorder admission (it
     affects scheduling, not seq)."""
-    w = Window.orderBy("first_occ_a", "first_occ_b")
-    return allowed.select(
+    spark = allowed.sparkSession
+    nparts = spark.sparkContext.defaultParallelism
+    ranged = allowed.repartitionByRange(
+        nparts, "first_occ_a", "first_occ_b"
+    ).sortWithinPartitions("first_occ_a", "first_occ_b")
+    ranged = ranged.withColumn("_pid", F.spark_partition_id())
+    ranged.persist()
+    sizes = {
+        r["_pid"]: r["n"]
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = {}, seq_offset
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off_expr = F.element_at(
+        F.create_map(
+            *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+        ),
+        F.col("_pid"),
+    ) if offsets else F.lit(seq_offset)
+    w = Window.partitionBy("_pid").orderBy("first_occ_a", "first_occ_b")
+    out = ranged.select(
         "url_canon",
         "host",
         "bucket",
         "url_hash",
         "priority",
         F.lit(round_added).cast("int").alias("round_added"),
-        (F.row_number().over(w) + F.lit(seq_offset - 1)).cast("long").alias("seq"),
+        (F.row_number().over(w).cast("long") + off_expr.cast("long") - 1).alias("seq"),
     )
+    # the caller unpersists this after materializing the round's state
+    out._assign_seq_cache = ranged
+    return out
 
 
 def crawl(
@@ -233,12 +266,15 @@ def crawl(
             allowed = seeds_c
         frontier = _assign_seq(allowed, 0, 0)
         seq_offset = frontier.count()
+        seed_cache = getattr(frontier, "_assign_seq_cache", None)
         seen = seeds_c.select("url_hash", "bucket", "url_canon")
         bloom = bloom_state.empty(spark) if bloom_state else None
         if bloom_state is not None:
             bloom = bloom_state.merge(bloom, seen.select("bucket", "url_hash"))
         # round-0 checkpoint of initial state
         frontier = _snapshot(spark, frontier, _ckpt(cfg, -1, "frontier"), nparts)
+        if seed_cache is not None:
+            seed_cache.unpersist()
         seen = _snapshot(spark, seen, _ckpt(cfg, -1, "seen"), nparts)
         if bloom is not None:
             bloom = _snapshot(spark, bloom, _ckpt(cfg, -1, "bloom"), 1)
@@ -370,6 +406,9 @@ def crawl(
         fetched.unpersist()
         ok.unpersist()
         fresh.unpersist()
+        cache = getattr(new_entries, "_assign_seq_cache", None)
+        if cache is not None:
+            cache.unpersist()
 
         _write_manifest(
             cfg,

@@ -29,7 +29,7 @@ spark = make_spark({cpus})
 # measured quantity is scheduling+fetch+parse throughput, not deferral.
 frontier_round_kernel(spark, n_urls={n_urls} // 10)
 frontier_round_kernel(spark, n_urls={n_urls}, n_hosts=4000)
-runs = [frontier_round_kernel(spark, n_urls={n_urls}, n_hosts=4000) for _ in range(3)]
+runs = [frontier_round_kernel(spark, n_urls={n_urls}, n_hosts=4000) for _ in range(4)]
 best = min(runs, key=lambda r: r["round_wall_sec"])
 print("KERNEL_RESULT " + json.dumps(best))
 spark.stop()

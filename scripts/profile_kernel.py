@@ -2,9 +2,12 @@
 
 Breaks the timed region of crawler_spark.benchmarks.frontier_round_kernel
 into separately-materialized stages so a non-scaling stage is visible when
-comparing local[8] vs local[32] (run under taskset like bench_scaling.py).
+comparing local[8] vs local[32]. Run under taskset like bench_scaling.py:
 
-Usage: taskset -c 0-7 python scripts/profile_kernel.py 8 [n_urls]
+    taskset -c 0-7  python scripts/profile_kernel.py 8  [n_urls]
+    taskset -c 0-31 python scripts/profile_kernel.py 32 [n_urls]
+
+Prints one JSON line per measured pass (first pass is warm-up).
 """
 
 from __future__ import annotations
@@ -23,9 +26,9 @@ from bench import make_spark  # noqa: E402
 from crawler_spark.benchmarks import synth_frontier, synth_pages  # noqa: E402
 from crawler_spark.frontier.canon import (  # noqa: E402
     canon_expr,
+    flat_outlinks,
     host_bucket_expr,
     host_expr,
-    outlinks_expr,
     url_hash_expr,
 )
 from crawler_spark.frontier.politeness import apply_politeness_budget  # noqa: E402
@@ -55,8 +58,17 @@ def main() -> int:
     seen.persist().count()
     pages.persist().count()
 
-    # warm-up: full chain once, untimed
-    def build():
+    for attempt in range(3):
+        stages = {}
+
+        def mat(name, df):
+            t0 = time.monotonic()
+            df.persist()
+            n = df.count()
+            stages[name] = {"sec": round(time.monotonic() - t0, 2), "rows": n}
+            return df
+
+        t_all = time.monotonic()
         cands = raw.select(
             canon_expr(F.col("url")).alias("url_canon"),
             F.lit(0).alias("priority"),
@@ -68,47 +80,31 @@ def main() -> int:
             .withColumn("bucket", host_bucket_expr(F.col("host"), n_buckets))
             .withColumn("url_hash", url_hash_expr(F.col("url_canon")))
         )
-        return cands
-
-    stages = {}
-
-    def mat(name, df):
-        t0 = time.monotonic()
-        df.persist()
-        n = df.count()
-        stages[name] = {"sec": round(time.monotonic() - t0, 3), "rows": n}
-        return df
-
-    for attempt in range(2):  # first pass = warm-up, second = measured
-        stages = {}
-        t_all = time.monotonic()
-        cands = mat("canon+hash", build())
-        dedup = mat("dedup", _dedup_candidates(cands))
-        fresh = mat("bloom+anti", filter_unseen(dedup, seen, bloom, bloom_state))
+        cands = mat("canon", cands)
+        dd = mat("dedup", _dedup_candidates(cands))
+        fresh = mat("bloom+anti", filter_unseen(dd, seen, bloom, bloom_state))
         frontier = fresh.select(
             "url_canon", "host", "bucket", "url_hash", "priority",
             F.lit(0).alias("round_added"), F.col("first_occ_a").alias("seq"),
         )
-        scheduled, _def = apply_politeness_budget(
-            frontier, spark.createDataFrame([], "host string, max_fetches_per_round int"), budget
+        sched, _deferred = apply_politeness_budget(
+            frontier,
+            spark.createDataFrame([], "host string, max_fetches_per_round int"),
+            budget,
         )
-        scheduled = mat("politeness", scheduled)
-        fetched = pages.join(F.broadcast(scheduled), "url_canon", "inner").repartition(
-            spark.sparkContext.defaultParallelism
+        sched = mat("politeness", sched)
+        fetched = pages.join(
+            F.broadcast(sched.select("url_canon")), "url_canon", "left_semi"
         )
-        fetched = mat("fetch_join_bcast", fetched)
-        out = fetched.select(
-            "url_canon",
-            F.posexplode(outlinks_expr(F.col("url_canon"), F.col("html"))).alias("pos", "child"),
-        )
+        out = flat_outlinks(fetched.select("url_canon", "html"), ["url_canon"])
         t0 = time.monotonic()
-        n_out = out.count()
-        stages["outlinks"] = {"sec": round(time.monotonic() - t0, 3), "rows": n_out}
-        total = round(time.monotonic() - t_all, 3)
-        for df in (cands, dedup, fresh, scheduled, fetched):
+        n = out.count()
+        stages["fetch+outlinks"] = {"sec": round(time.monotonic() - t0, 2), "rows": n}
+        total = round(time.monotonic() - t_all, 2)
+        for df in (cands, dd, fresh, sched):
             df.unpersist()
-        if attempt == 1:
-            print(json.dumps({"cpus": cpus, "n_urls": n_urls, "total": total, "stages": stages}))
+        print(json.dumps({"attempt": attempt, "cpus": cpus, "n_urls": n_urls,
+                          "total": total, "stages": stages}), flush=True)
     spark.stop()
     return 0
 

@@ -219,3 +219,35 @@ def test_canon_batch_hypothesis():
         assert got == want
 
     inner()
+
+
+def test_flat_outlinks_matches_kernel(spark):
+    """flat_outlinks (JVM fast path + Python slow-page routing) must be
+    byte-identical to the pure-Python kernel on fast AND slow href shapes."""
+    pages = [
+        # pure fast shapes
+        ("https://a.example/root", '<a href="/x">1</a><A HREF="HTTPS://B.Example:443/Y">2</A><a href="/x">dup</a>'),
+        # fragment-only / filtered schemes
+        ("https://a.example/p", '<a href="#top">f</a><a href="javascript:void(0)">j</a><a href="mailto:a@b">m</a>'),
+        # slow: protocol-relative + path-relative + userinfo + bad port
+        ("https://c.example/d/e", '<a href="//cdn.example/lib.js">pr</a><a href="sub/page">rel</a>'),
+        ("http://u.example/", '<a href="http://user:pw@h.example/x">ui</a><a href="http://h.example:99999/">bp</a>'),
+        # whitespace + entity-ish edge
+        ("https://w.example/", '<a href="  /sp aced  ">w</a><a href="">empty</a>'),
+        # no links at all
+        ("https://none.example/", "<p>nothing here</p>"),
+        # mixed fast+slow on one page (whole page must route to Python)
+        ("https://m.example/base/", '<a href="/abs">a</a><a href="rel2">r</a><a href="https://ok.example/">o</a>'),
+    ]
+    from crawler_spark.frontier.canon import extract_outlinks, flat_outlinks
+
+    df = spark.createDataFrame(pages, ["url_canon", "html"])
+    got = {
+        (r["url_canon"], r["pos"]): r["child_url"]
+        for r in flat_outlinks(df, ["url_canon"]).collect()
+    }
+    want = {}
+    for url, html in pages:
+        for i, link in enumerate(extract_outlinks(url, html)):
+            want[(url, i)] = link
+    assert got == want
