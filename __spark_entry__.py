@@ -422,6 +422,29 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact tier): a < b with
+    round(cosine, 6) >= 0.3. At 10^10-vector scale the same pair join runs
+    inside LSH buckets (crawler_spark.pipeline.similarity.cosine_near_dups
+    docstring); this entry pins the exact semantics."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.cosine_near_dups(emb, threshold=0.3)
+
+
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 CSVDataStorage (storage.go:23-44): header CSV sink with the
+    all-strings row model (FieldValues []string, collector.go:13), then
+    read back — the oracle sees the same values as varchar."""
+    import tempfile
+
+    from crawler_spark.sinks import read_csv, write_csv
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    path = tempfile.mkdtemp(prefix="entry_csv_") + "/out"
+    write_csv(docs, path)
+    return read_csv(spark, path)
+
+
 def q_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     feats = ts.quality_features(F.col("text"))
@@ -555,6 +578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
+        "cosine_near_dups": q_cosine_near_dups,
+        "csv_roundtrip": q_csv_roundtrip,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
         "quality_by_source": q_quality_by_source,
@@ -878,6 +903,20 @@ s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
 r AS (SELECT *, row_number() OVER (
         PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM s)
 SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5""",
+        "cosine_near_dups": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+             6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+            6) >= 0.3""",
+        "csv_roundtrip": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, source, "
+            "CAST(n_chars AS VARCHAR) AS n_chars FROM documents"
+        ),
         "text_quality": _sql_text_quality(),
         "token_counts": (
             f"SELECT doc_id, len({_TOKS})::BIGINT AS n_ws_tokens, "

@@ -172,3 +172,45 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def cosine_near_dups(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: (a, b) with a < b and
+    round(cosine, 6) >= threshold.
+
+    This is the *exact* tier — inherently quadratic in pairs, usable when
+    one side fits in a broadcast (dedup of a shard, query batch vs corpus).
+    At 10^10-vector scale use the LSH tier instead: bucket both sides with
+    :func:`lsh_bucket_expr` and run THIS pair join within buckets (same
+    shape as :func:`lsh_bucketed_topk`'s equi-join) — the threshold filter
+    below is unchanged. Norms are precomputed per row so each pair costs
+    one fold; the round(…, 6) on the filter boundary makes the result
+    stable across fold-order/platform ulp differences (and reproducible by
+    the SQL oracle in double precision).
+    """
+    as_double = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    a = corpus.select(
+        F.col(id_col).alias("id_a"), as_double.alias("avec")
+    ).withColumn("anorm", norm_expr(F.col("avec")))
+    b = corpus.select(
+        F.col(id_col).alias("id_b"), as_double.alias("bvec")
+    ).withColumn("bnorm", norm_expr(F.col("bvec")))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot_expr(F.col("avec"), F.col("bvec"))
+                / (F.col("anorm") * F.col("bnorm")),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+    )
