@@ -48,11 +48,23 @@ def apply_politeness_budget(
     global ticket pool (SURVEY.md §2.3 F6) — the ordering makes the schedule
     a *data* property, identical under any parallelism.
 
-    Scale note: the window partitions by ``host``; a pathological single-host
-    frontier would skew one partition. The scheduler pre-partitions frontier
-    state by salted host-bucket and AQE splits skewed partitions; the window
-    itself only ranks within one host's rows.
+    Scale note (hot-host skew): the window partitions by ``host``, so a
+    single hot host would rank all its rows in ONE task. Two measures keep
+    that off the critical path at 10^10-URL scale:
+
+    * the ``_rk <= lit(cap)`` bound (cap = the max budget across the
+      politeness dim, a tiny driver-side max) lets Catalyst plan a
+      *partial* ``WindowGroupLimit`` BEFORE the shuffle — every map task
+      keeps at most ``cap`` rows per host, so the post-shuffle hot-host
+      partition holds ≤ cap × map_tasks rows instead of the host's whole
+      frontier;
+    * ``deferred`` is frontier ∖ scheduled via a ``left_anti`` join on the
+      unique ``url_canon`` key (hash-partitioned — host-skew-free) instead
+      of the ``rank > budget`` side of a full window, which would have
+      forced ranking every row of the hot host anyway.
     """
+    dim_max = politeness.agg(F.max("max_fetches_per_round")).collect()[0][0]
+    cap = max(default_budget, dim_max) if dim_max is not None else default_budget
     joined = frontier.join(
         F.broadcast(politeness.select("host", "max_fetches_per_round")), "host", "left"
     ).withColumn(
@@ -61,10 +73,12 @@ def apply_politeness_budget(
     )
     w = Window.partitionBy("host").orderBy("priority", "round_added", "seq")
     ranked = joined.withColumn("_rk", F.row_number().over(w))
-    scheduled = ranked.filter(F.col("_rk") <= F.col("_budget")).drop(
-        "_rk", "_budget", "max_fetches_per_round"
-    )
-    deferred = ranked.filter(F.col("_rk") > F.col("_budget")).drop(
-        "_rk", "_budget", "max_fetches_per_round"
+    # the literal bound is implied by (_rk <= _budget) but triggers the
+    # map-side WindowGroupLimit; keep it first in the conjunction.
+    scheduled = ranked.filter(
+        (F.col("_rk") <= F.lit(cap)) & (F.col("_rk") <= F.col("_budget"))
+    ).drop("_rk", "_budget", "max_fetches_per_round")
+    deferred = frontier.join(
+        scheduled.select("url_canon"), "url_canon", "left_anti"
     )
     return scheduled, deferred

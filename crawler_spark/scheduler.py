@@ -297,6 +297,9 @@ def crawl(
         scheduled, deferred = apply_politeness_budget(
             frontier, politeness, cfg.default_budget
         )
+        # reused by the fetch join, the miss anti-join, AND deferred's
+        # frontier∖scheduled anti-join — cache the window output once
+        scheduled.persist()
 
         # Fetch-as-join. The scheduled set is budget-bounded (≤ hosts ×
         # max_fetches_per_round), so broadcast it and probe the html-bearing
@@ -406,6 +409,7 @@ def crawl(
         fetched.unpersist()
         ok.unpersist()
         fresh.unpersist()
+        scheduled.unpersist()
         cache = getattr(new_entries, "_assign_seq_cache", None)
         if cache is not None:
             cache.unpersist()
