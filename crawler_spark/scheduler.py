@@ -21,6 +21,10 @@ Scale notes (10^10-URL frontier):
   hosts spread across salt, AQE splits residual skew;
 * the seen check is Bloom-prefiltered per bucket so the exact anti-join
   touches only bloom-positive candidates (crawler_spark.frontier.seen);
+* the seen table is an append-only DELTA LOG (one parquet dir of newly
+  admitted urls per round, manifest lists the paths) — checkpoint write
+  cost per round is O(new urls), not O(total seen); Iceberg maps this to
+  writeTo(seen).append();
 * seq assignment needs a global total order over each round's NEW urls
   only (not the whole frontier); implemented as a two-phase rank —
   per-partition ranks + partition-size offsets — to avoid a
@@ -251,7 +255,8 @@ def crawl(
         start_round = manifest["next_round"]
         seq_offset = manifest["seq_offset"]
         frontier = spark.read.parquet(manifest["frontier_path"])
-        seen = spark.read.parquet(manifest["seen_path"])
+        seen_paths = manifest.get("seen_paths") or [manifest["seen_path"]]
+        seen = spark.read.parquet(*seen_paths)
         bloom = (
             spark.read.parquet(manifest["bloom_path"])
             if cfg.use_bloom and manifest.get("bloom_path")
@@ -275,7 +280,13 @@ def crawl(
         frontier = _snapshot(spark, frontier, _ckpt(cfg, -1, "frontier"), nparts)
         if seed_cache is not None:
             seed_cache.unpersist()
+        # seen is an append-only DELTA LOG: each round writes only its newly
+        # admitted urls; the live table is a multi-path read. A full-table
+        # rewrite per round would be O(|seen-so-far|) — the dominant write at
+        # 10^10 URLs — where the delta is O(|new this round|). With Iceberg
+        # the delta write is writeTo(seen).append() on the same snapshot.
         seen = _snapshot(spark, seen, _ckpt(cfg, -1, "seen"), nparts)
+        seen_paths = [_ckpt(cfg, -1, "seen")]
         if bloom is not None:
             bloom = _snapshot(spark, bloom, _ckpt(cfg, -1, "bloom"), 1)
         _write_manifest(
@@ -284,7 +295,7 @@ def crawl(
                 "next_round": 0,
                 "seq_offset": seq_offset,
                 "frontier_path": _ckpt(cfg, -1, "frontier"),
-                "seen_path": _ckpt(cfg, -1, "seen"),
+                "seen_paths": seen_paths,
                 "bloom_path": _ckpt(cfg, -1, "bloom") if bloom is not None else None,
             },
         )
@@ -391,7 +402,6 @@ def crawl(
 
         # --- next-round state -----------------------------------------------
         new_seen = fresh.select("url_hash", "bucket", "url_canon")
-        seen_next = seen.unionByName(new_seen)
         frontier_next = deferred.select(*[f.name for f in FRONTIER_SCHEMA.fields]).unionByName(
             new_entries.select(*[f.name for f in FRONTIER_SCHEMA.fields])
         )
@@ -401,7 +411,11 @@ def crawl(
             bloom_next = None
 
         frontier = _snapshot(spark, frontier_next, _ckpt(cfg, rnd, "frontier"), nparts)
-        seen = _snapshot(spark, seen_next, _ckpt(cfg, rnd, "seen"), nparts)
+        # append-only seen delta: write THIS round's admissions, re-read the
+        # whole log (see init comment — O(new) write, not O(total))
+        _snapshot(spark, new_seen, _ckpt(cfg, rnd, "seen"), nparts)
+        seen_paths = seen_paths + [_ckpt(cfg, rnd, "seen")]
+        seen = spark.read.parquet(*seen_paths)
         if bloom_next is not None:
             bloom = _snapshot(spark, bloom_next, _ckpt(cfg, rnd, "bloom"), 1)
         n_admitted = new_entries.count()
@@ -420,7 +434,7 @@ def crawl(
                 "next_round": rnd + 1,
                 "seq_offset": seq_offset,
                 "frontier_path": _ckpt(cfg, rnd, "frontier"),
-                "seen_path": _ckpt(cfg, rnd, "seen"),
+                "seen_paths": seen_paths,
                 "bloom_path": _ckpt(cfg, rnd, "bloom") if bloom_next is not None else None,
             },
         )

@@ -111,7 +111,8 @@ GC/IO. On a real N→4N executor cluster the per-round fixed costs
 (driver planning, checkpoint commit) are the same, while scan/UDF/shuffle
 stages — which dominate here — scale with executors.
 
-Raw JSON: see `BENCH_scaling.json`.
+Raw JSON: see `BENCH_scaling.json`. Per-stage scaling evidence (which
+stages scale and which are fixed-overhead-bound): `PROFILE.md`.
 """
         )
     with open(os.path.join(REPO, "BENCH_scaling.json"), "w") as f:
