@@ -114,6 +114,59 @@ def q_rule_xpath_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fields["h1_text"].alias("h1_text"))
 
 
+def q_rule_noop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 NoopRule (ruler/ruler.go:8-18): identity of the whole content,
+    with an optional transform — here trim, the jd example's most common
+    post-map (example/jd/main.go:83,120,137)."""
+    from crawler_spark.rules.spark import NoopRule, Trans
+
+    docs = _t(spark, sf_dir, "documents")
+    rule = NoopRule(trans=Trans(col=F.trim, py=str.strip))
+    return docs.select("doc_id", rule.first_expr(F.col("text")).alias("noop_val"))
+
+
+def q_rule_xpath_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 xPathNodeRule.Get (ruler/xpath_node.go:25-31): wraps GetFirst —
+    at most ONE element, dropped entirely when the match is empty. Pages
+    are synthesized with an <h1> only for doc_id %% 3 != 0, so the explode
+    drops exactly the docs with no match."""
+    from crawler_spark.rules.spark import XPathRule, xpath_struct_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    h1 = F.substring(F.col("text"), 1, 30)
+    for raw, ent in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        h1 = F.replace(h1, F.lit(raw), F.lit(ent))
+    html = F.when(
+        F.col("doc_id") % 3 != 0,
+        F.concat(F.lit("<html><body><h1>"), h1, F.lit("</h1></body></html>")),
+    ).otherwise(F.lit("<html><body><p>no heading</p></body></html>"))
+    first = xpath_struct_expr(html, {"h1": XPathRule("//h1")})["h1"]
+    arr = F.array_compact(F.array(F.when(first != "", first)))
+    return docs.select("doc_id", F.explode(arr).alias("h1_text"))
+
+
+def q_jd_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 transStringFunc vocabulary of the jd example (example/jd/main.go):
+    count-occurrences (:60,106 — size(split)-1), min-over-parsed-ints
+    (:66-98 — array_min over casts; token lengths stand in for prices),
+    trim (:83), sprintf URL building (:152,165 — format_string), and the
+    contains-guard (:74-76 — when(contains) → '')."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(f"({TOKEN_PAT})"), 1)
+    return docs.select(
+        "doc_id",
+        (F.size(F.split(F.col("text"), "scan", -1)) - 1).alias("n_scan"),
+        F.array_min(F.transform(toks, lambda x: F.length(x))).alias("min_tok_len"),
+        F.trim(F.substring(F.col("text"), 1, 20)).alias("head_trim"),
+        F.format_string("https://example.com/doc/%d", F.col("doc_id")).alias(
+            "doc_url"
+        ),
+        F.when(F.col("text").contains("merge"), F.lit("")).otherwise(
+            F.substring(F.col("text"), 1, 10)
+        ).alias("guarded"),
+    )
+
+
 def q_pager_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 NewPostListPager (pager.go:32-54): page range [from, to] × corpus
     equi-join on the request key; pages missing from the corpus = failed
@@ -550,7 +603,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_regex_all_distinct": q_rule_regex_all_distinct,
         "rule_cut_first": q_rule_cut_first,
         "rule_const": q_rule_const,
+        "rule_noop": q_rule_noop,
         "rule_xpath_first": q_rule_xpath_first,
+        "rule_xpath_all": q_rule_xpath_all,
+        "jd_transforms": q_jd_transforms,
         "outlink_tokens": q_outlink_tokens,
         # sources (SURVEY §2.1)
         "pager_range_join": q_pager_range_join,
@@ -786,6 +842,22 @@ FROM documents""",
             # engine unescapes them back — net effect: the raw substring
             "SELECT doc_id, substr(text, 1, 30) AS h1_text FROM documents"
         ),
+        "rule_noop": "SELECT doc_id, trim(text) AS noop_val FROM documents",
+        "rule_xpath_all": (
+            # array-wrap of GetFirst with empty dropped: only docs whose
+            # synthesized page has an <h1> (doc_id % 3 != 0) survive
+            "SELECT doc_id, substr(text, 1, 30) AS h1_text FROM documents "
+            "WHERE doc_id % 3 <> 0 AND coalesce(substr(text, 1, 30), '') <> ''"
+        ),
+        "jd_transforms": f"""
+SELECT doc_id,
+       CAST(len(string_split(text, 'scan')) - 1 AS INT) AS n_scan,
+       list_min(list_transform(regexp_extract_all(text, '{TOKEN_PAT}'),
+                               x -> CAST(length(x) AS INT))) AS min_tok_len,
+       trim(substr(text, 1, 20)) AS head_trim,
+       'https://example.com/doc/' || CAST(doc_id AS VARCHAR) AS doc_url,
+       CASE WHEN contains(text, 'merge') THEN '' ELSE substr(text, 1, 10) END AS guarded
+FROM documents""",
         "pager_range_join": """
 SELECT r.range AS page_no,
        'page=' || r.range || '&rows=10' AS post_body,

@@ -93,8 +93,10 @@ SAME kernel on the SAME deterministic input at two parallelism levels.
 Kernel: one full frontier round (canonicalize → hash/bucket → dedup →
 Bloom probe + exact anti-join vs seen → per-host politeness window →
 fetch-as-join → outlink extraction), `crawler_spark/benchmarks.py`,
-input = {n_urls:,} URLs (Zipf-skewed hosts, ~1/3 pre-seen), best of 2
-measured runs after warm-up.
+input = {n_urls:,} URLs (Zipf-skewed hosts, ~1/3 pre-seen), best of 4
+in-JVM measured runs after warm-up × 2 interleaved process
+attempts per level (whole-process wall-time noise on this VM spans
+3-5×, so single runs are meaningless).
 
 | parallelism | round wall (s) | URLs-in/sec | URLs-scheduled/sec |
 |---|---|---|---|

@@ -1,0 +1,302 @@
+"""Unit tests for the training-data pipeline ops (crawler_spark.pipeline)
+against pure-Python oracles — independent reimplementations of the same
+published algorithms (MinHash: Broder 1997; SimHash: Charikar 2002), not
+ports of any engine.
+
+The driver harness already cross-checks these ops against DuckDB SQL at
+sf0.01; these tests pin the *algorithmic* semantics on adversarial inputs
+(identical docs, disjoint docs, short docs, empty text) where the oracle
+can be computed by hand.
+"""
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.pipeline import dedup as dd
+from crawler_spark.pipeline import similarity as sim
+from crawler_spark.pipeline import textstats as ts
+from crawler_spark.pipeline.multimodal import (
+    deterministic_fake_features,
+    extract_features,
+    make_fake_media,
+)
+
+# ---------------------------------------------------------------------------
+# pure-Python oracles
+# ---------------------------------------------------------------------------
+
+
+def py_md5h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def py_shingles(text: str, n: int) -> set[str]:
+    toks = text.lower().split()
+    if n == 1:
+        return set(toks)
+    if len(toks) < n:
+        return set()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def py_minhash(text: str, k: int, seed: int, ngram: int) -> list[int] | None:
+    sh = py_shingles(text, ngram)
+    if not sh:
+        return None  # no shingle rows → doc absent from the signature table
+    hs = [py_md5h60(s) for s in sh]
+    return [
+        min((a * h + b) % dd._MERSENNE_P for h in hs)
+        for a, b in dd._perm_params(k, seed)
+    ]
+
+
+def py_simhash(text: str, bits: int, ngram: int) -> int | None:
+    sh = py_shingles(text, ngram)
+    if not sh:
+        return None
+    out = 0
+    for j in range(bits):
+        vote = sum(1 if (py_md5h60(s) >> j) & 1 else -1 for s in sh)
+        if vote > 0:
+            out |= 1 << j
+    return out
+
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (3, "completely different words appear here entirely unrelated tokens"),
+    (4, "short"),  # fewer tokens than the 2-gram window
+    (5, ""),  # empty text
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_matches_python_oracle(docs_df):
+    k, seed = 8, 7
+    got = {
+        r["doc_id"]: [r[f"mh{i}"] for i in range(k)]
+        for r in dd.minhash_signatures(docs_df, "doc_id", "text", k, 2, seed).collect()
+    }
+    for doc_id, text in DOCS:
+        want = py_minhash(text, k, seed, 2)
+        if want is None:
+            assert doc_id not in got
+        else:
+            assert got[doc_id] == want, f"doc {doc_id}"
+
+
+def test_minhash_identical_docs_identical_sigs(docs_df):
+    sigs = dd.minhash_signatures(docs_df, "doc_id", "text", 8, 2)
+    rows = {r["doc_id"]: tuple(r)[1:] for r in sigs.collect()}
+    assert rows[0] == rows[2]
+    assert rows[0] != rows[3]
+
+
+def test_lsh_candidates_contain_exact_dup_pair(docs_df):
+    sigs = dd.minhash_signatures(docs_df, "doc_id", "text", 8, 2)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dd.lsh_candidate_pairs(sigs, "doc_id", 8, 4).collect()
+    }
+    assert (0, 2) in pairs  # identical docs share every band
+    # estimated jaccard of the exact-dup pair is 1.0
+    est = dd.minhash_similarity(
+        sigs, docs_df.sparkSession.createDataFrame([(0, 2)], ["id_a", "id_b"]), 8
+    ).collect()[0]["est_jaccard"]
+    assert est == 1.0
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_matches_python_oracle(docs_df):
+    bits = 16
+    got = {r["doc_id"]: r["simhash"] for r in dd.simhash(docs_df, "doc_id", "text", bits, 1).collect()}
+    for doc_id, text in DOCS:
+        want = py_simhash(text, bits, 1)
+        if want is None:
+            assert doc_id not in got
+        else:
+            assert got[doc_id] == want, f"doc {doc_id}"
+
+
+def test_simhash_near_dups_finds_neighbour_not_unrelated(docs_df, spark):
+    sh = dd.simhash(docs_df, "doc_id", "text", 32, 1)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dd.simhash_near_dups(sh, "doc_id", max_hamming=8, bits=32, blocks=16).collect()
+    }
+    assert (0, 2) in pairs  # identical → hamming 0
+    assert (0, 3) not in pairs  # unrelated text
+
+
+# ---------------------------------------------------------------------------
+# exact dedup + n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def test_exact_dedup_keep_first(docs_df):
+    kept = sorted(
+        r["doc_id"]
+        for r in dd.exact_dedup_keep_first(
+            docs_df, "doc_id", ts.fingerprint_expr(F.col("text"))
+        ).collect()
+    )
+    assert kept == [0, 1, 3, 4, 5]  # doc 2 deduped against doc 0
+
+
+def test_ngram_jaccard_matches_python(docs_df):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_pairs(
+            docs_df, "doc_id", "text", ngram=2, min_jaccard=0.0, min_common=1
+        ).collect()
+    }
+    sets = {i: py_shingles(t, 2) for i, t in DOCS}
+    for (a, b), j in got.items():
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        assert inter >= 1
+        assert j == round(inter / union, 6), (a, b)
+    assert (0, 2) in got and got[(0, 2)] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# text stats
+# ---------------------------------------------------------------------------
+
+
+def test_textstats_oracle(spark):
+    rows = [
+        (0, "The quick brown fox and the lazy dog"),  # english stopwords
+        (1, "zzz qqq xxx"),  # no stopwords of any language
+        (2, "  spaced   out  tokens  "),
+        (3, "der hund und die katze ist nicht hier"),  # german
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            ts.token_count_expr(F.col("text")).alias("n_tok"),
+            ts.lang_id_expr(F.col("text")).alias("lang"),
+            ts.fingerprint_expr(F.col("text")).alias("fp"),
+            ts.subword_count_expr(F.col("text")).alias("n_sub"),
+        ).collect()
+    }
+    for doc_id, text in rows:
+        assert out[doc_id]["n_tok"] == len(text.lower().split())
+        norm = " ".join(text.lower().split())
+        assert out[doc_id]["fp"] == hashlib.md5(norm.encode()).hexdigest()
+    assert out[0]["lang"] == "en"
+    assert out[1]["lang"] == "und"
+    assert out[3]["lang"] == "de"
+    # subword count: at least one piece per whitespace token, none empty
+    assert out[0]["n_sub"] >= out[0]["n_tok"]
+
+
+def test_quality_features_bounds(spark):
+    df = spark.createDataFrame(
+        [(0, "the and of to in is that it for a " * 10)], ["doc_id", "text"]
+    )
+    feats = ts.quality_features(F.col("text"))
+    r = df.select(*[v.alias(k) for k, v in feats.items()]).collect()[0]
+    assert r["n_tokens"] == 100
+    assert r["stopword_ratio"] == 1.0  # all stopwords
+    assert r["uniq_ratio"] == pytest.approx(0.1)
+    assert 0.0 <= r["quality_score"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(40, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)], ["vec_id", "embedding"]
+    )
+    queries = df.filter(F.col("vec_id") < 3)
+    got = {}
+    for r in sim.cosine_topk(df, queries, k=5).collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["cosine"]))
+    v64 = vecs.astype(np.float64)
+    norms = np.linalg.norm(v64, axis=1)
+    for q in range(3):
+        cos = (v64 @ v64[q]) / (norms * norms[q])
+        order = sorted(
+            ((round(cos[i], 6), i) for i in range(40) if i != q),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        want = [(rank + 1, i, c) for rank, (c, i) in enumerate(order)]
+        got_q = sorted(got[q])
+        assert [(rk, i) for rk, i, _ in got_q] == [(rk, i) for rk, i, _ in want]
+        for (_, _, gc), (_, _, wc) in zip(got_q, want):
+            assert gc == pytest.approx(wc, abs=2e-6)
+
+
+def test_lsh_bucketed_topk_high_recall_vs_exact(spark):
+    # planted structure: each query has 3 noisy copies of itself (cosine
+    # ≈0.999) — the regime LSH is FOR. On isotropic random data near
+    # neighbours aren't near and bucket recall is legitimately low.
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(5, 8))
+    rows, vid = [], 0
+    for b in base:
+        for _ in range(4):  # original + 3 near-copies
+            v = b + rng.normal(scale=0.01, size=8)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    for _ in range(80):  # background noise vectors
+        rows.append((vid, [float(x) for x in rng.normal(size=8)]))
+        vid += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = df.filter(F.col("vec_id") % 4 == 0).filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.cosine_topk(df, queries, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.lsh_bucketed_topk(df, queries, k=3, n_planes=4).collect()
+    }
+    # near-copies of a query land in its bucket almost surely
+    assert len(exact & approx) >= int(0.8 * len(exact))
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def test_multimodal_features_deterministic(spark):
+    media = make_fake_media(spark, n=12)
+    out = extract_features(media).collect()
+    assert len(out) == 12
+    by_id = {r["media_id"]: r for r in out}
+    src = {r["media_id"]: bytes(r["content"]) for r in media.collect()}
+    for i, blob in src.items():
+        assert by_id[i]["content_md5"] == hashlib.md5(blob).hexdigest()
+        assert by_id[i]["size_bytes"] == len(blob)
+        feats = by_id[i]["features"]
+        assert feats == pytest.approx(deterministic_fake_features(blob))
+        assert all(not math.isnan(f) for f in feats)
