@@ -198,10 +198,15 @@ def filter_unseen(
     table with (url_hash, bucket). Definitely-new rows (bloom miss) skip the
     exact anti-join entirely; only maybe-seen rows are checked exactly.
     """
-    # composite (url_hash, url_canon) key: at 10^10 URLs, 64-bit birthday
-    # collisions are expected (~n²/2^65 ≈ a few) — hash narrows the join,
-    # the string equality makes it exact.
-    key = ["url_hash", "url_canon"]
+    # Join on url_canon ALONE: string equality is exact by itself (no
+    # reliance on the 64-bit hash, whose birthday collisions at 10^10 URLs
+    # are expected), and — decisive for the plan — the candidates arrive
+    # hash-partitioned by url_canon from the admission dedup's groupBy, so
+    # a url_canon-keyed sort-merge anti-join reuses that exchange: only the
+    # seen side shuffles. A composite (url_hash, url_canon) key would
+    # force a second full exchange of the candidates for zero extra
+    # exactness.
+    key = ["url_canon"]
     if bloom is None or bloom_state is None:
         return candidates.join(seen.select(*key), key, "left_anti")
     if bloom_state.n_buckets * bloom_state.n_bits // 8 <= BLOOM_BROADCAST_MAX_BYTES:
