@@ -475,6 +475,30 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID as a standalone op (SURVEY §2.6 text analysis): stopword
+    -vote argmax per document, next to the corpus's labeled lang column so
+    the output doubles as a confusion table."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", ts.lang_id_expr(F.col("text")).alias("lang_pred")
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting, three tiers per doc: normalized-md5 (exact
+    dedup key), Karp–Rabin rolling hash over tokens (order-sensitive), and
+    winnowing-style min over token 3-gram rolling hashes (boilerplate-
+    robust). All pure column expressions — fingerprints ride the scan."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        ts.fingerprint_expr(F.col("text")).alias("fp_md5"),
+        ts.rolling_fingerprint_expr(F.col("text")).alias("fp_roll"),
+        ts.kgram_min_fingerprint_expr(F.col("text"), k=3).alias("fp_kgram_min"),
+    )
+
+
 def q_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact tier): a < b with
     round(cosine, 6) >= 0.3. At 10^10-vector scale the same pair join runs
@@ -638,6 +662,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_roundtrip": q_csv_roundtrip,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
         "quality_by_source": q_quality_by_source,
         # rows-only (stateful / approximate / stubbed decode)
         "crawl_bsp_rounds": q_crawl_bsp_rounds,
@@ -756,6 +782,45 @@ SELECT doc_id,
         + round(s_en / safe_tokens, 4) * 0.2
         + round(len(list_distinct(toks)) / safe_tokens, 4) * 0.4, 4) AS quality_score
 FROM f"""
+
+
+def _sql_lang_id() -> str:
+    codes = sorted(ts.STOPWORDS)
+    lang_cases = []
+    for i, lang in enumerate(codes):
+        others = [f"s_{lang} >= s_{o}" for o in codes[i + 1 :]]
+        cond = " AND ".join(others) if others else "TRUE"
+        lang_cases.append(f"WHEN {cond} THEN '{lang}'")
+    lang_expr = (
+        "CASE WHEN greatest(" + ", ".join(f"s_{c}" for c in codes) + ") = 0 THEN 'und' "
+        + " ".join(lang_cases)
+        + " END"
+    )
+    scores = ", ".join(f"{_sql_stop_count(c)} AS s_{c}" for c in codes)
+    return f"""
+WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+f AS (SELECT doc_id, lang, {scores} FROM t)
+SELECT doc_id, lang, {lang_expr} AS lang_pred FROM f"""
+
+
+def _sql_doc_fingerprint() -> str:
+    B, M = ts.ROLL_BASE, ts.ROLL_MOD
+    v = f"('0x' || substr(md5(t), 1, 15))::BIGINT % {M}"
+    gram = (
+        f"(((vals[i] * {B} + vals[i+1]) % {M}) * {B} + vals[i+2]) % {M}"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+v AS (SELECT doc_id, text,
+        list_transform(toks, t -> {v}) AS vals FROM t)
+SELECT doc_id,
+  {_FP} AS fp_md5,
+  list_reduce(list_prepend(0::BIGINT, vals),
+              (a, b) -> (a * {B} + b) % {M}) AS fp_roll,
+  CASE WHEN len(vals) >= 3 THEN
+    list_min(list_transform(range(1, len(vals) - 1), i -> {gram}))
+  ELSE -1 END AS fp_kgram_min
+FROM v"""
 
 
 def _sql_quality_by_source() -> str:
@@ -990,6 +1055,8 @@ WHERE round(list_dot_product(a.v, b.v) /
             "CAST(n_chars AS VARCHAR) AS n_chars FROM documents"
         ),
         "text_quality": _sql_text_quality(),
+        "lang_id": _sql_lang_id(),
+        "doc_fingerprint": _sql_doc_fingerprint(),
         "token_counts": (
             f"SELECT doc_id, len({_TOKS})::BIGINT AS n_ws_tokens, "
             "len(regexp_extract_all(lower(text), "

@@ -118,6 +118,69 @@ def quality_features(text: Column) -> dict[str, Column]:
     }
 
 
+# Rolling-hash parameters: base/modulus chosen so acc*B + v stays < 2^52
+# (no int64 overflow in either engine) and % on nonnegative operands is
+# engine-agnostic.
+ROLL_BASE = 1_000_003
+ROLL_MOD = 2_147_483_647  # 2^31 - 1 (Mersenne)
+
+
+def _token_value_expr(token: Column) -> Column:
+    """64→31-bit numeric value of one token, identical in Spark and DuckDB:
+    first 60 bits of md5(token) reduced mod ROLL_MOD. md5 (not xxhash64)
+    keeps the DuckDB oracle byte-exact."""
+    h60 = F.conv(F.substring(F.md5(token), 1, 15), 16, 10).cast("long")
+    return h60 % F.lit(ROLL_MOD)
+
+
+def rolling_fingerprint_expr(text: Column) -> Column:
+    """Karp–Rabin rolling-hash document fingerprint: the polynomial hash
+    ``acc <- (acc * B + v(token)) mod M`` folded over the whitespace tokens
+    of the lowercased text. Order-sensitive (unlike a bag-of-words md5), so
+    token reorderings fingerprint differently.
+
+    Scale: one ``aggregate`` over an in-row array — whole-stage codegen,
+    no shuffle; at 100 TB it rides the scan like :func:`fingerprint_expr`.
+    """
+    return F.aggregate(
+        tokens_expr(text),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * F.lit(ROLL_BASE) + _token_value_expr(t)) % F.lit(ROLL_MOD),
+    )
+
+
+def kgram_min_fingerprint_expr(text: Column, k: int = 3) -> Column:
+    """Winnowing-style fingerprint: the MIN of the rolling hashes of all
+    token ``k``-grams (the k-gram hash is the same polynomial as
+    :func:`rolling_fingerprint_expr`, evaluated per window). Robust to
+    prepended/appended boilerplate, which shifts the full-document hash but
+    leaves interior k-grams intact. Documents with fewer than ``k`` tokens
+    fingerprint as -1.
+
+    Spark has no ``let``, so naively indexing the token array inside the
+    per-gram lambda re-evaluates the whole split/filter/md5 chain per access
+    — O(tokens²) per row. ``transform(array(vals), vals -> …)`` binds the
+    token-value array to a lambda variable evaluated ONCE per row; inside,
+    ``element_at(vals, i)`` is O(1) array indexing.
+    """
+    vals = F.transform(tokens_expr(text), _token_value_expr)
+
+    def over_vals(v: Column) -> Column:
+        def gram_hash(i: Column) -> Column:
+            acc: Column = F.lit(0).cast("long")
+            for j in range(k):
+                acc = (acc * F.lit(ROLL_BASE) + F.element_at(v, i + F.lit(j))) % F.lit(ROLL_MOD)
+            return acc
+
+        n_grams = F.size(v) - F.lit(k - 1)
+        return F.when(
+            n_grams >= 1,
+            F.array_min(F.transform(F.sequence(F.lit(1), n_grams), gram_hash)),
+        ).otherwise(F.lit(-1).cast("long"))
+
+    return F.element_at(F.transform(F.array(vals), over_vals), 1)
+
+
 def fingerprint_expr(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of whitespace-normalized,
     lowercased text. Used as the exact-dedup key; md5 (not xxhash64) so the

@@ -212,6 +212,50 @@ def test_textstats_oracle(spark):
     assert out[0]["n_sub"] >= out[0]["n_tok"]
 
 
+def test_rolling_fingerprints(spark):
+    """Pin the rolling-hash fingerprint semantics: a Python re-derivation is
+    the oracle (same md5-token-value Karp–Rabin fold); order sensitivity and
+    winnowing boilerplate-robustness are the behavioural contracts."""
+    base = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (0, base),
+        (1, "zeta epsilon delta gamma beta alpha"),  # same bag, reordered
+        (2, "COOKIE BANNER " + base),  # boilerplate prefix
+        (3, "one two"),  # < k tokens
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            ts.rolling_fingerprint_expr(F.col("text")).alias("roll"),
+            ts.kgram_min_fingerprint_expr(F.col("text"), k=3).alias("kmin"),
+        ).collect()
+    }
+
+    def val(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % ts.ROLL_MOD
+
+    def roll(toks: list[str]) -> int:
+        acc = 0
+        for t in toks:
+            acc = (acc * ts.ROLL_BASE + val(t)) % ts.ROLL_MOD
+        return acc
+
+    for doc_id, text in rows:
+        toks = text.lower().split()
+        assert out[doc_id]["roll"] == roll(toks)
+        want_kmin = (
+            min(roll(toks[i : i + 3]) for i in range(len(toks) - 2))
+            if len(toks) >= 3
+            else -1
+        )
+        assert out[doc_id]["kmin"] == want_kmin
+    assert out[0]["roll"] != out[1]["roll"]  # order-sensitive
+    assert out[0]["kmin"] == out[2]["kmin"]  # interior 3-grams survive prefix
+    assert out[3]["kmin"] == -1
+
+
 def test_quality_features_bounds(spark):
     df = spark.createDataFrame(
         [(0, "the and of to in is that it for a " * 10)], ["doc_id", "text"]
