@@ -380,6 +380,59 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-bucket rollup: date_trunc to the hour, agg per
+    (bucket, event_type). The bucket is emitted as a formatted string so the
+    value hash is engine-neutral (Spark NTZ vs DuckDB naive timestamps render
+    identically). At scale the bucket is also the partition column of the
+    continuous-aggregate table this feeds."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy(
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+            "bucket_hour"
+        ),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join. Dims (nation⋈region, supplier) are
+    broadcast so the only shuffle is the lineitem⋈orders⋈customer fact
+    chain; the c_nationkey = s_nationkey theta-filter rides on the joined
+    rows. This is the plan shape that survives 100×: facts shuffle on their
+    keys once, dims never shuffle."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    dim = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+            "n_nationkey", "n_name"
+        )
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(dim, supp.s_nationkey == dim.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline
 # ---------------------------------------------------------------------------
@@ -648,6 +701,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users": q_distinct_users,
         "running_sum": q_running_sum,
         "sessionize": q_sessionize,
+        "events_hourly_rollup": q_events_hourly_rollup,
+        "local_supplier_volume": q_local_supplier_volume,
         # training-data pipeline
         "rule_cut_all": q_rule_cut_all,
         "dedup_keep_first": q_dedup_keep_first,
@@ -956,6 +1011,24 @@ SELECT user_id, min(priority) AS priority, count(*) AS n_sources FROM (
   UNION ALL
   SELECT user_id, 1 AS priority FROM events WHERE event_type = 'purchase'
 ) GROUP BY user_id""",
+        "events_hourly_rollup": """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_hour,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2""",
+        "local_supplier_volume": """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem, orders, customer, supplier, nation, region
+WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+GROUP BY n_name""",
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
   sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE AS sum_qty,

@@ -49,6 +49,8 @@ HEADLINE = [
     "distinct_users",
     "running_sum",
     "sessionize",
+    "events_hourly_rollup",
+    "local_supplier_volume",
     "exact_dedup",
     "minhash_signatures",
     "simhash",
