@@ -628,6 +628,22 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic sampled centroids (16 smallest-id vectors,
+    0 Lloyd rounds so the SQL oracle can replay training), corpus bucketed
+    by nearest centroid, queries probe their 2 nearest lists. Exact twin in
+    oracle_sql — unlike the LSH tier this variant is fully SQL-replayable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        n_centroids=16,
+        nprobe=2,
+        n_iters=0,
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media → feature rows via Arrow mapInPandas (decode stubbed:
     deterministic md5 features; plumbing real)."""
@@ -713,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "cosine_near_dups": q_cosine_near_dups,
         "csv_roundtrip": q_csv_roundtrip,
         "text_quality": q_text_quality,
@@ -1112,6 +1129,32 @@ s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
       FROM e q JOIN e c ON c.vec_id != q.vec_id WHERE q.vec_id < 10),
 r AS (SELECT *, row_number() OVER (
         PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM s)
+SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5""",
+        "ann_ivf_topk": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv,
+             sqrt(list_dot_product(v, v)) AS cnorm
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+scored_c AS (SELECT e.vec_id, e.v, c.cid,
+               round(list_dot_product(e.v, c.cv) / c.cnorm, 6) AS score
+             FROM e CROSS JOIN c),
+ranked_c AS (SELECT *, row_number() OVER (
+               PARTITION BY vec_id ORDER BY score DESC, cid) AS rk
+             FROM scored_c),
+corpus_a AS (SELECT vec_id AS neighbor_id, v AS cvec, cid,
+                    sqrt(list_dot_product(v, v)) AS cnorm2
+             FROM ranked_c WHERE rk = 1),
+query_p AS (SELECT vec_id AS query_id, v AS qvec, cid,
+                   sqrt(list_dot_product(v, v)) AS qnorm
+            FROM ranked_c WHERE rk <= 2 AND vec_id < 10),
+pairs AS (SELECT q.query_id, a.neighbor_id,
+            round(list_dot_product(q.qvec, a.cvec) / (q.qnorm * a.cnorm2), 6)
+              AS cosine
+          FROM query_p q JOIN corpus_a a USING (cid)
+          WHERE a.neighbor_id != q.query_id),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM pairs)
 SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5""",
         "cosine_near_dups": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

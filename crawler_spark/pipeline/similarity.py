@@ -174,6 +174,136 @@ def lsh_bucketed_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the scale path promised in lsh_bucketed_topk's
+# docstring: replace the sign-pattern bucket with argmin-over-centroids.
+# ---------------------------------------------------------------------------
+
+def ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_iters: int = 0,
+) -> list[list[float]]:
+    """IVF "training": deterministic centroids, optionally Lloyd-refined.
+
+    Initial centroids are the ``n_centroids`` smallest-id vectors — a fixed,
+    resumable choice (no RNG: the same corpus always trains the same index,
+    so a resumed job probes identical buckets). ``n_iters`` distributed
+    Lloyd rounds refine them: assign (argmax rounded cosine-score, ties →
+    smaller centroid id) then elementwise mean per cluster via
+    posexplode + groupBy — two narrow shuffles per round, collect is
+    ``n_centroids × dim`` doubles only. Empty clusters keep their previous
+    centroid (standard Lloyd fallback, deterministic).
+    """
+    rows = (
+        corpus.orderBy(F.col(id_col))
+        .limit(n_centroids)
+        .select(F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"))
+        .collect()
+    )
+    cents = [list(r["v"]) for r in rows]
+    for _ in range(n_iters):
+        assigned = corpus.select(
+            ivf_probe_expr(F.col(vec_col), cents, nprobe=1)[0].alias("cid"),
+            F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))),
+        )
+        means = (
+            assigned.groupBy("cid", "pos")
+            .agg(F.avg("col").alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in cents]  # empty cluster → keep old centroid
+        by_cid: dict[int, list] = {}
+        for r in means:
+            by_cid.setdefault(int(r["cid"]), []).append(r)
+        for cid, rs in by_cid.items():
+            for r in rs:
+                new[cid][int(r["pos"])] = float(r["m"])
+        cents = new
+    return cents
+
+
+def ivf_probe_expr(vec: Column, centroids: list[list[float]], nprobe: int = 1) -> Column:
+    """Ids of the ``nprobe`` nearest centroids, best first — pure built-ins.
+
+    Score = round(dot(vec, c) / |c|, 6): for a fixed row the 1/|vec| factor
+    is a positive constant, so the ranking equals cosine ranking while
+    skipping |vec|; rounding pins tie-breaks (→ smaller centroid id) to be
+    bit-identical in the SQL oracle. Assembled as array<struct(-score, cid)>
+    + array_sort (struct ordering is lexicographic) + slice — stays in
+    whole-stage codegen, no Python.
+    """
+    entries = []
+    for cid, c in enumerate(centroids):
+        norm = sum(x * x for x in c) ** 0.5 or 1.0
+        lit_c = F.array(*[F.lit(float(v)) for v in c])
+        score = F.round(dot_expr(vec, lit_c) / F.lit(norm), 6)
+        entries.append(
+            F.named_struct(F.lit("negs"), -score, F.lit("cid"), F.lit(cid))
+        )
+    ranked = F.array_sort(F.array(*entries))
+    return F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cid"])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    n_iters: int = 0,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Approximate top-k via an inverted file: score a query only against
+    corpus vectors whose nearest centroid is one of the query's ``nprobe``
+    nearest.
+
+    Same join scaffold as :func:`lsh_bucketed_topk`; recall/cost dial is
+    (n_centroids, nprobe). At 10^10 vectors the corpus is written
+    partitioned by ``cid`` once (list-building), so a query batch touches
+    only ``nprobe``/``n_centroids`` of the data — partition pruning does
+    the rest. Centroid literals are broadcast inside the plan (KBs).
+    """
+    if centroids is None:
+        centroids = ivf_centroids(corpus, id_col, vec_col, n_centroids, n_iters)
+    as_double = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double.alias("cvec"),
+        ivf_probe_expr(F.col(vec_col), centroids, nprobe=1)[0].alias("cid"),
+    ).withColumn("cnorm", norm_expr(F.col("cvec")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double.alias("qvec"),
+        F.explode(ivf_probe_expr(F.col(vec_col), centroids, nprobe=nprobe)).alias("cid"),
+    ).withColumn("qnorm", norm_expr(F.col("qvec")))
+    scored = (
+        c.join(F.broadcast(q), "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot_expr(F.col("qvec"), F.col("cvec"))
+                / (F.col("qnorm") * F.col("cnorm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def cosine_near_dups(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -86,6 +86,18 @@ class CrawlConfig:
     bits_per_bucket: int = 1 << 16
     use_bloom: bool = True
     state_partitions: int = 0  # 0 → n_buckets
+    # fetch-as-join strategy. "broadcast": collect+broadcast the scheduled
+    # set, probe the corpus map-side — right when rounds are budget-bounded
+    # SMALL (the driver-side broadcast build is serial, so it must not grow
+    # with frontier size). "bucketed": the corpus is persisted
+    # hash-partitioned by url_canon (the local stand-in for an Iceberg
+    # table stored with a bucket(url_canon, N) transform — bucketing is
+    # paid once at write time, reused every round) and the fetch is a
+    # co-partitioned shuffled-hash join where ONLY the scheduled keys move;
+    # nothing serial scales with the round, which is what keeps N→4N
+    # efficiency at 10^6+-scheduled rounds (see BENCH.md).
+    fetch_join: str = "broadcast"
+    corpus_buckets: int = 128
 
 
 @dataclass
@@ -243,6 +255,9 @@ def crawl(
     corpus = pages.withColumn("url_canon", canon_expr(F.col("url"))).select(
         "url_canon", F.col("html").cast("string").alias("html")
     )
+    if cfg.fetch_join == "bucketed":
+        # stored-bucketed table stand-in: partition once, reuse every round
+        corpus = corpus.repartition(cfg.corpus_buckets, "url_canon").persist()
 
     empty_robots = robots is None
     if politeness is None:
@@ -320,12 +335,29 @@ def crawl(
         # doubles as a runtime filter pruning the Iceberg scan. Left-outer
         # semantics (miss = fetch failure) are recovered with a cheap
         # anti-join of the two small sides.
-        ok = corpus.join(F.broadcast(scheduled), "url_canon", "inner").withColumn(
-            "fetched", F.lit(True)
-        )
-        ok.persist()
+        if cfg.fetch_join == "bucketed":
+            # co-partitioned shuffled-hash join against the stored-bucketed
+            # corpus: only the scheduled keys shuffle, the html side joins
+            # in place (see CrawlConfig.fetch_join). miss derives from the
+            # PERSISTED ok so the anti-join reads the cache, not a re-join.
+            sched_b = scheduled.repartition(cfg.corpus_buckets, "url_canon")
+            ok = corpus.join(
+                sched_b.hint("shuffle_hash"), "url_canon", "inner"
+            ).withColumn("fetched", F.lit(True))
+            ok.persist()
+            miss_src = sched_b.join(
+                ok.select("url_canon").hint("shuffle_hash"), "url_canon", "left_anti"
+            )
+        else:
+            ok = corpus.join(F.broadcast(scheduled), "url_canon", "inner").withColumn(
+                "fetched", F.lit(True)
+            )
+            ok.persist()
+            miss_src = scheduled.join(
+                F.broadcast(ok.select("url_canon")), "url_canon", "left_anti"
+            )
         miss = (
-            scheduled.join(F.broadcast(ok.select("url_canon")), "url_canon", "left_anti")
+            miss_src
             .withColumn("html", F.lit(None).cast("string"))
             .withColumn("fetched", F.lit(False))
         )
@@ -440,6 +472,8 @@ def crawl(
         )
         rnd += 1
 
+    if cfg.fetch_join == "bucketed":
+        corpus.unpersist()
     schedule = spark.read.parquet(
         *[
             _ckpt(cfg, r, "schedule")

@@ -24,12 +24,17 @@ sys.path.insert(0, {repo!r})
 from bench import make_spark
 from crawler_spark.benchmarks import frontier_round_kernel
 spark = make_spark({cpus})
-# warm-up (JIT, python worker fork pool), then three measured runs; best-of.
-# n_hosts sized so the politeness cap admits ~the whole frontier — the
-# measured quantity is scheduling+fetch+parse throughput, not deferral.
-frontier_round_kernel(spark, n_urls={n_urls} // 10)
-frontier_round_kernel(spark, n_urls={n_urls}, n_hosts=4000)
-runs = [frontier_round_kernel(spark, n_urls={n_urls}, n_hosts=4000) for _ in range(4)]
+# warm-up (JIT, python worker fork pool), then measured runs; best-of.
+# n_hosts scales with n_urls (1 host per 500 frontier URLs — bigger crawls
+# touch more hosts) so the politeness cap admits ~the same FRACTION of the
+# frontier at every input size: with hosts fixed, budget*hosts pins the
+# scheduled set and the fetch+parse stage stops growing with n_urls,
+# silently changing the workload mix between sizes. The measured quantity
+# is scheduling+fetch+parse throughput, not deferral.
+n_hosts = max({n_urls} // 500, 1000)
+frontier_round_kernel(spark, n_urls={n_urls} // 10, n_hosts=n_hosts // 10)
+frontier_round_kernel(spark, n_urls={n_urls}, n_hosts=n_hosts)
+runs = [frontier_round_kernel(spark, n_urls={n_urls}, n_hosts=n_hosts) for _ in range(4)]
 best = min(runs, key=lambda r: r["round_wall_sec"])
 print("KERNEL_RESULT " + json.dumps(best))
 spark.stop()
@@ -93,7 +98,10 @@ SAME kernel on the SAME deterministic input at two parallelism levels.
 Kernel: one full frontier round (canonicalize → hash/bucket → dedup →
 Bloom probe + exact anti-join vs seen → per-host politeness window →
 fetch-as-join → outlink extraction), `crawler_spark/benchmarks.py`,
-input = {n_urls:,} URLs (Zipf-skewed hosts, ~1/3 pre-seen), best of 4
+input = {n_urls:,} URLs over {n_urls // 500:,} Zipf-skewed hosts (~1/3
+pre-seen; hosts scale 1:500 with frontier size so the politeness cap
+admits the same fraction at every size — fixed hosts would pin the
+scheduled set and change the workload mix between sizes), best of 4
 in-JVM measured runs after warm-up × 2 interleaved process
 attempts per level (whole-process wall-time noise on this VM spans
 3-5×, so single runs are meaningless).

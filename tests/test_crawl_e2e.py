@@ -80,6 +80,21 @@ def test_crawl_matches_oracle(spark, corpus, oracle_result, tmp_path_factory, us
     assert got_seen == oracle_result.seen
 
 
+def test_bucketed_fetch_join_identical(spark, corpus, oracle_result, tmp_path_factory):
+    """fetch_join="bucketed" (co-partitioned shuffled-hash fetch against the
+    stored-bucketed corpus) is a pure physical-strategy swap: schedule and
+    seen set must match the oracle exactly like the broadcast path."""
+    ckpt = str(tmp_path_factory.mktemp("ckpt_bucketed"))
+    pages, seeds, robots, politeness = _spark_inputs(spark, corpus)
+    cfg = CrawlConfig(
+        checkpoint_dir=ckpt, max_rounds=12, default_budget=16, n_buckets=8,
+        fetch_join="bucketed", corpus_buckets=16,
+    )
+    result = crawl(spark, pages, seeds, robots, politeness, cfg)
+    assert _schedule_tuples_spark(result) == _schedule_tuples_oracle(oracle_result)
+    assert {r["url_canon"] for r in result.seen.collect()} == oracle_result.seen
+
+
 def test_extracted_text_byte_identical(spark, corpus):
     """input_hint invariant: extracted text per url == oracle extraction."""
     pages = spark.createDataFrame(corpus["pages"])

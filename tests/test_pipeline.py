@@ -327,6 +327,74 @@ def test_lsh_bucketed_topk_high_recall_vs_exact(spark):
     assert len(exact & approx) >= int(0.8 * len(exact))
 
 
+def test_ivf_topk_high_recall_vs_exact(spark):
+    # same planted-near-copies regime as the LSH test: IVF recall on
+    # isotropic noise is meaningless, on real clusters it's the point.
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(5, 8))
+    rows, vid = [], 0
+    for b in base:
+        for _ in range(4):
+            v = b + rng.normal(scale=0.01, size=8)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    for _ in range(80):
+        rows.append((vid, [float(x) for x in rng.normal(size=8)]))
+        vid += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = df.filter(F.col("vec_id") % 4 == 0).filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.cosine_topk(df, queries, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.ivf_topk(df, queries, k=3, n_centroids=8, nprobe=3).collect()
+    }
+    assert len(exact & approx) >= int(0.8 * len(exact))
+
+
+def test_ivf_assignment_matches_numpy_and_lloyd_refines(spark):
+    rng = np.random.default_rng(9)
+    vecs = rng.normal(size=(60, 6)).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)], ["vec_id", "embedding"]
+    )
+
+    def np_assign(v, cents):
+        scores = [
+            (round(float(v @ c) / (np.linalg.norm(c) or 1.0), 6), cid)
+            for cid, c in enumerate(cents)
+        ]
+        return min(scores, key=lambda t: (-t[0], t[1]))[1]
+
+    # 0 iterations: centroids are the 8 smallest-id vectors, assignment is
+    # argmax rounded dot/|c| with ties to the smaller cid
+    cents0 = sim.ivf_centroids(df, n_centroids=8, n_iters=0)
+    assert np.allclose(np.array(cents0), vecs[:8])
+    got = {
+        r["neighbor_id"]: r["cid"]
+        for r in df.select(
+            F.col("vec_id").alias("neighbor_id"),
+            sim.ivf_probe_expr(F.col("embedding"), cents0, 1)[0].alias("cid"),
+        ).collect()
+    }
+    for i in range(60):
+        assert got[i] == np_assign(vecs[i], [np.array(c) for c in cents0]), i
+
+    # 1 Lloyd round: Spark's refined centroids == numpy's (mean of members,
+    # empty cluster keeps its previous centroid)
+    cents1 = sim.ivf_centroids(df, n_centroids=8, n_iters=1)
+    members: dict[int, list[int]] = {}
+    for i in range(60):
+        members.setdefault(np_assign(vecs[i], [np.array(c) for c in cents0]), []).append(i)
+    want = [
+        vecs[members[cid]].mean(axis=0) if cid in members else vecs[cid]
+        for cid in range(8)
+    ]
+    assert np.allclose(np.array(cents1), np.array(want), atol=1e-12)
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------
