@@ -620,6 +620,28 @@ def q_crawl_bsp_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.schedule.select("round", "host", "url", "priority", "seq")
 
 
+def q_stream_crawl_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Structured Streaming tier of the crawl: the frontier is a watched
+    directory, each micro-batch is one politeness-bounded round run in
+    foreachBatch, outlinks/deferred urls feed back into the source until the
+    crawl drains. Stateful streaming loop — not SQL-expressible; equivalence
+    with the batch oracle is pinned by tests/test_streaming.py."""
+    import tempfile
+
+    from crawler_spark.corpus.generator import make_corpus
+    from crawler_spark.streaming import StreamCrawlConfig, stream_crawl
+
+    tables = make_corpus(seed=11, n_hosts=6, pages_per_host=10, n_seed_hosts=3)
+    pages = spark.createDataFrame(tables["pages"])
+    seeds = spark.createDataFrame(tables["seeds"])
+    robots = spark.createDataFrame(tables["robots"])
+    politeness = spark.createDataFrame(tables["politeness"])
+    work = tempfile.mkdtemp(prefix="entry_stream_crawl_")
+    cfg = StreamCrawlConfig(work_dir=work, default_budget=16, n_buckets=8, max_passes=12)
+    res = stream_crawl(spark, pages, seeds, robots, politeness, cfg)
+    return res["schedule"].select("batch_id", "host", "url", "priority", "fetched")
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN — recall measured against exact top-k in tests."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -739,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_by_source": q_quality_by_source,
         # rows-only (stateful / approximate / stubbed decode)
         "crawl_bsp_rounds": q_crawl_bsp_rounds,
+        "stream_crawl_rounds": q_stream_crawl_rounds,
         "ann_lsh_topk": q_ann_lsh_topk,
         "multimodal_features": q_multimodal_features,
     }
