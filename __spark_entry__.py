@@ -235,6 +235,31 @@ def q_robots_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse raw robots.txt bodies into User-agent:* Disallow prefixes —
+    pure built-ins (split + higher-order array fns + one regexp), map-only.
+    Input synthesized deterministically (spark.range ↔ DuckDB range) with
+    distractor groups, comments, and an empty Disallow."""
+    from crawler_spark.frontier.politeness import robots_prefixes_expr
+
+    df = spark.range(60).select(
+        F.format_string("h%d.example.com", F.col("id")).alias("host"),
+        F.format_string(
+            "# synthetic robots\nUser-agent: alpha\nDisallow: /alpha-only\n\n"
+            "User-agent: *\nDisallow: /p/%d\ndisallow: /tmp%d\nAllow: /pub\n"
+            "Disallow:\nUser-agent: beta\nDisallow: /beta-only",
+            F.col("id"),
+            F.pmod(F.col("id"), F.lit(5)),
+        ).alias("robots_txt"),
+    )
+    parsed = df.select(
+        "host", robots_prefixes_expr(F.col("robots_txt")).alias("p")
+    )
+    return parsed.select(
+        "host", F.posexplode("p").alias("pos", "prefix")
+    ).select("host", F.col("pos").cast("int").alias("pos"), "prefix")
+
+
 def q_politeness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F6 per-host politeness budget as row_number window: first 3 events
     per user in deterministic (ts, event_id) order."""
@@ -674,6 +699,15 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "kind", "size_bytes", "content_md5")
 
 
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: mapInPandas fan-out emitting per-frame
+    fingerprints, never shuffling pixels (decode stubbed; plumbing real)."""
+    from crawler_spark.pipeline.multimodal import sample_frames
+
+    media = make_fake_media(spark, n=64)
+    return sample_frames(media, every_n=4, allow_stub=True)
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
@@ -729,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # frontier primitives (SURVEY §2.3/2.5)
         "seen_anti_join": q_seen_anti_join,
         "robots_semi_join": q_robots_semi_join,
+        "robots_parse": q_robots_parse,
         "politeness_topk": q_politeness_topk,
         "host_budget": q_host_budget,
         "frontier_union": q_frontier_union,
@@ -764,6 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_crawl_rounds": q_stream_crawl_rounds,
         "ann_lsh_topk": q_ann_lsh_topk,
         "multimodal_features": q_multimodal_features,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
     }
 
 
@@ -1035,6 +1071,37 @@ FROM documents a LEFT JOIN documents b ON b.doc_id = a.doc_id + 1""",
             "SELECT c_custkey, c_acctbal FROM customer c WHERE EXISTS "
             "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
         ),
+        "robots_parse": """
+WITH r AS (
+  SELECT 'h' || i || '.example.com' AS host,
+         '# synthetic robots' || chr(10) || 'User-agent: alpha' || chr(10) ||
+         'Disallow: /alpha-only' || chr(10) || '' || chr(10) ||
+         'User-agent: *' || chr(10) || 'Disallow: /p/' || i || chr(10) ||
+         'disallow: /tmp' || (i % 5) || chr(10) || 'Allow: /pub' || chr(10) ||
+         'Disallow:' || chr(10) || 'User-agent: beta' || chr(10) ||
+         'Disallow: /beta-only' AS robots_txt
+  FROM range(60) t(i)),
+lines AS (
+  SELECT host, unnest(ls) AS line, generate_subscripts(ls, 1) AS i
+  FROM (SELECT host, string_split(robots_txt, chr(10)) AS ls FROM r)),
+ua AS (
+  SELECT host, min(i) AS s FROM lines
+  WHERE lower(ltrim(line)) LIKE 'user-agent:%'
+    AND trim(string_split(line, ':')[2]) = '*'
+  GROUP BY host),
+nxt AS (
+  SELECT l.host, min(l.i) AS e FROM lines l JOIN ua USING (host)
+  WHERE l.i > ua.s AND lower(ltrim(l.line)) LIKE 'user-agent:%'
+  GROUP BY l.host),
+hits AS (
+  SELECT l.host, l.i,
+         regexp_extract(l.line, '(?i)^\\s*disallow\\s*:\\s*(\\S*)', 1) AS prefix
+  FROM lines l JOIN ua USING (host) LEFT JOIN nxt USING (host)
+  WHERE l.i > ua.s AND (nxt.e IS NULL OR l.i < nxt.e))
+SELECT host,
+       CAST(row_number() OVER (PARTITION BY host ORDER BY i) - 1 AS INT) AS pos,
+       prefix
+FROM hits WHERE prefix <> ''""",
         "politeness_topk": """
 SELECT user_id, event_id, event_type, rn FROM (
   SELECT user_id, event_id, event_type,

@@ -35,6 +35,61 @@ def robots_allowed(frontier: DataFrame, robots: DataFrame) -> DataFrame:
     )
 
 
+#: value of a ``Disallow:`` line (leading ws / case-insensitive directive)
+_DISALLOW_RE = r"(?i)^\s*disallow\s*:\s*(\S*)"
+
+
+def robots_prefixes_expr(text: Column) -> Column:
+    """Parse a raw robots.txt body into its ``User-agent: *`` Disallow
+    prefixes — ``array<string>``, document order, pure built-ins.
+
+    Semantics (deterministic simplification of RFC 9309 grouping, mirrored
+    by the DuckDB oracle twin): take the lines strictly after the FIRST
+    ``User-agent: *`` line up to the next ``User-agent:`` line (or EOF);
+    within them, each ``Disallow:`` line contributes its value; empty
+    values (``Disallow:`` alone = allow-all) are dropped. Directive
+    matching is case-insensitive and whitespace-tolerant; values keep
+    their case (URL paths are case-sensitive).
+
+    Stays in whole-stage codegen: split + higher-order array functions
+    over the line array, one regexp per Disallow candidate — no Python,
+    so parsing the ~10^7 robots bodies of a 10^10-URL crawl is a map-only
+    columnar stage. Output feeds :func:`robots_allowed` directly.
+    """
+    lines = F.split(text, "\n")
+    n = F.size(lines)
+    idx = F.sequence(F.lit(1), n)  # 1-based, aligned with element_at
+
+    def is_ua(line: Column) -> Column:
+        return F.lower(F.ltrim(line)).startswith("user-agent:")
+
+    def is_ua_star(line: Column) -> Column:
+        return is_ua(line) & (F.trim(F.get(F.split(line, ":", 2), 1)) == F.lit("*"))
+
+    ua_hits = F.filter(idx, lambda i: is_ua_star(F.element_at(lines, i)))
+    start = F.get(ua_hits, 0)  # null-safe: null when no UA-* group exists
+    next_hits = F.filter(
+        idx, lambda i: (i > start) & is_ua(F.element_at(lines, i))
+    )
+    stop = F.coalesce(F.get(next_hits, 0), n + 1)
+    group = F.filter(idx, lambda i: (i > start) & (i < stop))
+    vals = F.transform(
+        group,
+        lambda i: F.regexp_extract(F.element_at(lines, i), _DISALLOW_RE, 1),
+    )
+    prefixes = F.filter(vals, lambda v: v != "")
+    return F.when(start.isNull(), F.array().cast("array<string>")).otherwise(prefixes)
+
+
+def parse_robots(df: DataFrame, host_col: str = "host", text_col: str = "robots_txt") -> DataFrame:
+    """``(host, robots_txt)`` → ``(host, disallow_prefixes)`` — the dim
+    table :func:`robots_allowed` consumes. Map-only; no shuffle."""
+    return df.select(
+        F.col(host_col).alias("host"),
+        robots_prefixes_expr(F.col(text_col)).alias("disallow_prefixes"),
+    )
+
+
 def apply_politeness_budget(
     frontier: DataFrame,
     politeness: DataFrame,

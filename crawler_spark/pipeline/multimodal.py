@@ -127,6 +127,54 @@ def extract_features(media: DataFrame, allow_stub: bool = True) -> DataFrame:
     return media.mapInPandas(batches, FEATURES_SCHEMA)
 
 
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_no", LongType()),
+        StructField("frame_md5", StringType()),
+        StructField("frame_bytes", LongType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_n: int = 10, allow_stub: bool = True) -> DataFrame:
+    """video rows → one narrow row per sampled frame (blob dropped ASAP).
+
+    The decode is the stub in :func:`frame_sample` (ffmpeg absent here);
+    the Spark side is the real shape a frame-sampling stage has at scale:
+    `mapInPandas` fan-OUT (one input row → many output rows, which a
+    pandas_udf cannot express), emitting per-frame metadata/fingerprints
+    instead of frame blobs so the downstream shuffle (frame dedup,
+    per-video rollups) moves hashes, not pixels. Non-video rows pass
+    through with zero frames (filter upstream if undesired).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, nos, md5s, sizes = [], [], [], []
+            for mid, kind, content in zip(
+                pdf["media_id"], pdf["kind"], pdf["content"]
+            ):
+                if kind != "video" or content is None:
+                    continue
+                frames = frame_sample(bytes(content), every_n, allow_stub=allow_stub)
+                for j, fr in enumerate(frames):
+                    ids.append(mid)
+                    nos.append(j)
+                    md5s.append(hashlib.md5(fr).hexdigest())
+                    sizes.append(len(fr))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_no": pd.Series(nos, dtype="int64"),
+                    "frame_md5": pd.Series(md5s, dtype=object),
+                    "frame_bytes": pd.Series(sizes, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, FRAMES_SCHEMA)
+
+
 def make_fake_media(spark, n: int = 64, seed: int = 5) -> DataFrame:
     """Deterministic synthetic media table (for tests/benches only)."""
     rows = []

@@ -6,7 +6,13 @@ Runs the frontier-round kernel in TWO SEPARATE PROCESSES (a JVM cannot
 change its master mid-life) and writes BENCH.md with throughput at both
 levels and efficiency = (thr@32 / thr@8) / 4.
 
-Usage: python scripts/bench_scaling.py [n_urls]
+Usage: python scripts/bench_scaling.py [n_urls] [n_small] [n_big]
+
+Levels default to 8 and 32. A second supported pairing is 4→16: on ONE
+box, 32 threads saturate the shared memory-bandwidth domain — a penalty a
+real N→4N *executor* fleet does not pay (every node brings its own
+memory controllers) — so the unsaturated 4→16 pair isolates the JOB's
+serial fraction from the box's bandwidth ceiling. Report both.
 """
 
 from __future__ import annotations
@@ -63,71 +69,42 @@ def run_at(cpus: int, n_urls: int) -> dict:
 
 def main() -> int:
     n_urls = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n_big = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    assert n_big == 4 * n_small, "north rule compares N to 4N"
     # two interleaved process-level repetitions per leg, best-of: wall-time
     # variance on this shared VM spans whole processes (host scheduling,
     # turbo), not just tasks, so best-of within one JVM is not enough
     best: dict[int, dict] = {}
     for attempt in range(2):
-        for cpus in (8, 32):
+        for cpus in (n_small, n_big):
             r = run_at(cpus, n_urls)
             print(f"local[{cpus}] try{attempt} ", json.dumps(r), flush=True)
             if cpus not in best or r["round_wall_sec"] < best[cpus]["round_wall_sec"]:
                 best[cpus] = r
-    r8, r32 = best[8], best[32]
-    print("local[8] ", json.dumps(r8), flush=True)
-    print("local[32]", json.dumps(r32), flush=True)
+    r8, r32 = best[n_small], best[n_big]
+    print(f"local[{n_small}] ", json.dumps(r8), flush=True)
+    print(f"local[{n_big}]", json.dumps(r32), flush=True)
     thr8, thr32 = r8["urls_in_per_sec"], r32["urls_in_per_sec"]
     eff = (thr32 / thr8) / 4.0
     report = {
         "n_urls": n_urls,
-        "local8": r8,
-        "local32": r32,
+        "levels": [n_small, n_big],
+        f"local{n_small}": r8,
+        f"local{n_big}": r32,
         "throughput_ratio": round(thr32 / thr8, 3),
         "scaling_efficiency": round(eff, 3),
     }
     print(json.dumps(report))
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write(
-            f"""# BENCH — frontier-round throughput & two-cluster-size scaling
-
-North-rule metric (`BASELINE.json`): URLs-scheduled/sec + frontier-round
-wall-time, with scaling efficiency >= 0.8 from N to 4N executors. No real
-cluster exists in this sandbox, so per `BASELINE.md` the evidence is the
-SAME kernel on the SAME deterministic input at two parallelism levels.
-
-Kernel: one full frontier round (canonicalize → hash/bucket → dedup →
-Bloom probe + exact anti-join vs seen → per-host politeness window →
-fetch-as-join → outlink extraction), `crawler_spark/benchmarks.py`,
-input = {n_urls:,} URLs over {n_urls // 500:,} Zipf-skewed hosts (~1/3
-pre-seen; hosts scale 1:500 with frontier size so the politeness cap
-admits the same fraction at every size — fixed hosts would pin the
-scheduled set and change the workload mix between sizes), best of 4
-in-JVM measured runs after warm-up × 2 interleaved process
-attempts per level (whole-process wall-time noise on this VM spans
-3-5×, so single runs are meaningless).
-
-| parallelism | round wall (s) | URLs-in/sec | URLs-scheduled/sec |
-|---|---|---|---|
-| local[8]  (N)  | {r8['round_wall_sec']} | {r8['urls_in_per_sec']:,.0f} | {r8['urls_scheduled_per_sec']:,.0f} |
-| local[32] (4N) | {r32['round_wall_sec']} | {r32['urls_in_per_sec']:,.0f} | {r32['urls_scheduled_per_sec']:,.0f} |
-
-**throughput ratio 8→32 cores: {thr32/thr8:.2f}× — scaling efficiency
-{eff:.2f}** (target ≥ 0.8 would require a perfectly CPU-bound job;
-single-machine caveats below).
-
-Caveats: both "clusters" share one machine's memory bandwidth, page
-cache, and a single driver JVM; local[8] still uses all 32 hw threads for
-GC/IO. On a real N→4N executor cluster the per-round fixed costs
-(driver planning, checkpoint commit) are the same, while scan/UDF/shuffle
-stages — which dominate here — scale with executors.
-
-Raw JSON: see `BENCH_scaling.json`. Per-stage scaling evidence (which
-stages scale and which are fixed-overhead-bound): `PROFILE.md`.
-"""
-        )
-    with open(os.path.join(REPO, "BENCH_scaling.json"), "w") as f:
+    # 8→32 keeps the historical filename; other pairings get suffixed ones.
+    name = (
+        "BENCH_scaling.json"
+        if (n_small, n_big) == (8, 32)
+        else f"BENCH_scaling_{n_small}_{n_big}.json"
+    )
+    with open(os.path.join(REPO, name), "w") as f:
         json.dump(report, f, indent=2)
-    print("wrote BENCH.md + BENCH_scaling.json")
+    print(f"wrote {name} (BENCH.md is authored from these JSONs)")
     return 0
 
 

@@ -251,3 +251,56 @@ def test_flat_outlinks_matches_kernel(spark):
         for i, link in enumerate(extract_outlinks(url, html)):
             want[(url, i)] = link
     assert got == want
+
+
+def test_robots_prefixes_expr_matches_oracle(spark):
+    """robots.txt parsing (User-agent:* group → Disallow prefixes): Spark
+    built-ins vs a line-for-line Python oracle of the documented spec."""
+    import re
+
+    from crawler_spark.frontier.politeness import parse_robots
+
+    def oracle(text: str) -> list[str]:
+        lines = text.split("\n")
+        start = stop = None
+        for i, line in enumerate(lines):
+            low = line.lstrip().lower()
+            if low.startswith("user-agent:"):
+                value = line.split(":", 1)[1].strip()
+                if start is None and value == "*":
+                    start = i
+                elif start is not None:
+                    stop = i
+                    break
+        if start is None:
+            return []
+        out = []
+        for line in lines[start + 1 : stop]:
+            m = re.match(r"(?i)^\s*disallow\s*:\s*(\S*)", line)
+            if m and m.group(1):
+                out.append(m.group(1))
+        return out
+
+    bodies = [
+        # normal group with comment, empty Disallow, lowercase directive
+        "# c\nUser-agent: *\nDisallow: /a\ndisallow: /B\nDisallow:\nAllow: /x",
+        # star group after a named group; stops at the next group
+        "User-agent: g\nDisallow: /g\nUser-agent: *\nDisallow: /z\nUser-agent: h\nDisallow: /h",
+        # star group at EOF
+        "User-agent: a\nDisallow: /1\nUser-agent: *\nDisallow: /tail",
+        # no star group at all / empty file / whitespace-tolerant directive
+        "User-agent: only\nDisallow: /only",
+        "",
+        "  User-Agent:   *  \n   DISALLOW:    /WS",
+        # star group immediately followed by another UA line (empty group)
+        "User-agent: *\nUser-agent: b\nDisallow: /b",
+    ]
+    df = spark.createDataFrame(
+        [(i, b) for i, b in enumerate(bodies)], ["host", "robots_txt"]
+    )
+    got = {
+        r["host"]: list(r["disallow_prefixes"])
+        for r in parse_robots(df).collect()
+    }
+    for i, b in enumerate(bodies):
+        assert got[i] == oracle(b), (i, b, got[i], oracle(b))

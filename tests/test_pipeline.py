@@ -412,3 +412,28 @@ def test_multimodal_features_deterministic(spark):
         feats = by_id[i]["features"]
         assert feats == pytest.approx(deterministic_fake_features(blob))
         assert all(not math.isnan(f) for f in feats)
+
+
+def test_sample_frames_matches_python_kernel(spark):
+    """mapInPandas frame fan-out == per-row Python kernel (stubbed decode):
+    only video rows emit, one row per sampled frame, blob never in output."""
+    import hashlib
+
+    from crawler_spark.pipeline.multimodal import (
+        frame_sample,
+        make_fake_media,
+        sample_frames,
+    )
+
+    media = make_fake_media(spark, n=30)
+    got = {
+        (r["media_id"], r["frame_no"]): (r["frame_md5"], r["frame_bytes"])
+        for r in sample_frames(media, every_n=4).collect()
+    }
+    want = {}
+    for row in media.collect():
+        if row["kind"] != "video":
+            continue
+        for j, fr in enumerate(frame_sample(bytes(row["content"]), 4, allow_stub=True)):
+            want[(row["media_id"], j)] = (hashlib.md5(fr).hexdigest(), len(fr))
+    assert got == want and len(want) > 0
