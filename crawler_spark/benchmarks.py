@@ -171,7 +171,10 @@ def frontier_round_kernel(
         F.col("first_occ_a").alias("seq"),
     )
     scheduled, _deferred = apply_politeness_budget(
-        frontier, spark.createDataFrame([], "host string, max_fetches_per_round int"), budget
+        frontier,
+        spark.createDataFrame([], "host string, max_fetches_per_round int"),
+        budget,
+        cap=budget,  # dim is static per crawl — precomputed, no per-round collect
     )
     scheduled.persist()
     # Fetch-as-join, co-partitioned form: the corpus is stored bucketed by

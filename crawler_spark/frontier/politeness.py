@@ -90,10 +90,21 @@ def parse_robots(df: DataFrame, host_col: str = "host", text_col: str = "robots_
     )
 
 
+def politeness_cap(politeness: DataFrame, default_budget: int = 16) -> int:
+    """Max budget across the politeness dim — the literal bound that lets
+    Catalyst plan the map-side WindowGroupLimit. The dim is static for a
+    crawl, so compute this ONCE and pass it to every round's
+    :func:`apply_politeness_budget`: a driver collect per round is pure
+    flat cost that Amdahl charges straight against N→4N efficiency."""
+    dim_max = politeness.agg(F.max("max_fetches_per_round")).collect()[0][0]
+    return max(default_budget, dim_max) if dim_max is not None else default_budget
+
+
 def apply_politeness_budget(
     frontier: DataFrame,
     politeness: DataFrame,
     default_budget: int = 16,
+    cap: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Split the round's frontier into (scheduled, deferred).
 
@@ -118,8 +129,8 @@ def apply_politeness_budget(
       of the ``rank > budget`` side of a full window, which would have
       forced ranking every row of the hot host anyway.
     """
-    dim_max = politeness.agg(F.max("max_fetches_per_round")).collect()[0][0]
-    cap = max(default_budget, dim_max) if dim_max is not None else default_budget
+    if cap is None:
+        cap = politeness_cap(politeness, default_budget)
     joined = frontier.join(
         F.broadcast(politeness.select("host", "max_fetches_per_round")), "host", "left"
     ).withColumn(

@@ -53,7 +53,11 @@ from crawler_spark.frontier.canon import (
     host_expr,
     url_hash_expr,
 )
-from crawler_spark.frontier.politeness import apply_politeness_budget, robots_allowed
+from crawler_spark.frontier.politeness import (
+    apply_politeness_budget,
+    politeness_cap,
+    robots_allowed,
+)
 from crawler_spark.frontier.seen import BloomState, filter_unseen
 
 FRONTIER_SCHEMA = StructType(
@@ -315,13 +319,17 @@ def crawl(
             },
         )
 
+    # static per crawl — computing it inside the loop would add a driver
+    # collect job per round (pure flat cost against N→4N efficiency)
+    cap = politeness_cap(politeness, cfg.default_budget)
+
     rnd = start_round
     while rnd < cfg.max_rounds:
         if frontier.limit(1).count() == 0:
             break
 
         scheduled, deferred = apply_politeness_budget(
-            frontier, politeness, cfg.default_budget
+            frontier, politeness, cfg.default_budget, cap=cap
         )
         # reused by the fetch join, the miss anti-join, AND deferred's
         # frontier∖scheduled anti-join — cache the window output once

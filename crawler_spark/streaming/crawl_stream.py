@@ -63,7 +63,11 @@ from crawler_spark.frontier.canon import (
     host_expr,
     url_hash_expr,
 )
-from crawler_spark.frontier.politeness import apply_politeness_budget, robots_allowed
+from crawler_spark.frontier.politeness import (
+    apply_politeness_budget,
+    politeness_cap,
+    robots_allowed,
+)
 
 # rows flowing through the watched directory: url + admission key; seq and
 # round_added are null for NEW candidates, set for deferred carry-overs
@@ -168,6 +172,7 @@ def _round_fn(
     overwritten — see module docstring (idempotent replay)."""
     if politeness is None:
         politeness = spark.createDataFrame([], "host string, max_fetches_per_round int")
+    cap = politeness_cap(politeness, cfg.default_budget)  # once, not per batch
 
     def run_round(batch: DataFrame, batch_id: int) -> None:
         batch = batch.persist()
@@ -224,7 +229,7 @@ def _round_fn(
         ).withColumn("url_hash", url_hash_expr(F.col("url_canon")))
 
         scheduled, deferred = apply_politeness_budget(
-            frontier, politeness, cfg.default_budget
+            frontier, politeness, cfg.default_budget, cap=cap
         )
         scheduled = scheduled.persist()
 
