@@ -40,11 +40,17 @@ spark = make_spark({cpus})
 n_hosts = max({n_urls} // 500, 1000)
 frontier_round_kernel(spark, n_urls={n_urls} // 10, n_hosts=n_hosts // 10)
 frontier_round_kernel(spark, n_urls={n_urls}, n_hosts=n_hosts)
-runs = [frontier_round_kernel(spark, n_urls={n_urls}, n_hosts=n_hosts) for _ in range(4)]
+runs = [frontier_round_kernel(spark, n_urls={n_urls}, n_hosts=n_hosts) for _ in range({n_runs})]
 best = min(runs, key=lambda r: r["round_wall_sec"])
 print("KERNEL_RESULT " + json.dumps(best))
 spark.stop()
 """
+
+
+# Long rounds (>= 10M URLs) amortize process noise within a single run, so
+# fewer measured runs/attempts suffice; override for quick looks.
+N_RUNS = int(os.environ.get("SCALE_RUNS", "4"))
+N_ATTEMPTS = int(os.environ.get("SCALE_ATTEMPTS", "2"))
 
 
 def run_at(cpus: int, n_urls: int) -> dict:
@@ -55,7 +61,7 @@ def run_at(cpus: int, n_urls: int) -> dict:
     # big cluster's hardware — efficiency numbers would be meaningless.
     cmd = ["taskset", "-c", f"0-{cpus - 1}"] if os.path.exists("/usr/bin/taskset") else []
     out = subprocess.run(
-        [*cmd, sys.executable, "-c", RUNNER.format(repo=REPO, cpus=cpus, n_urls=n_urls)],
+        [*cmd, sys.executable, "-c", RUNNER.format(repo=REPO, cpus=cpus, n_urls=n_urls, n_runs=N_RUNS)],
         env=env,
         capture_output=True,
         text=True,
@@ -76,7 +82,7 @@ def main() -> int:
     # variance on this shared VM spans whole processes (host scheduling,
     # turbo), not just tasks, so best-of within one JVM is not enough
     best: dict[int, dict] = {}
-    for attempt in range(2):
+    for attempt in range(N_ATTEMPTS):
         for cpus in (n_small, n_big):
             r = run_at(cpus, n_urls)
             print(f"local[{cpus}] try{attempt} ", json.dumps(r), flush=True)
@@ -97,7 +103,7 @@ def main() -> int:
     }
     print(json.dumps(report))
     # 8→32 keeps the historical filename; other pairings get suffixed ones.
-    name = (
+    name = os.environ.get("SCALE_OUT") or (
         "BENCH_scaling.json"
         if (n_small, n_big) == (8, 32)
         else f"BENCH_scaling_{n_small}_{n_big}.json"
