@@ -218,12 +218,45 @@ def q_outlink_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_seen_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-seen filter shape: left_anti (SURVEY §2.5; customers with no
-    orders stand in for unseen URLs)."""
+    big order stand in for unseen URLs — the seen side is restricted so
+    the result is a real hit/miss mix, not trivially empty)."""
     customer = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
     return customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
+
+
+def q_cuckoo_seen_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full cuckoo-prefiltered unseen pipeline (frontier/cuckoo.py, the
+    "/cuckoo" half of north_rule's "Bloom/cuckoo URL-seen filter"): build the
+    partitioned filter over the seen keys, probe candidates map-side, exact
+    anti-join only the maybe-seen — output is exact (== NOT EXISTS), the
+    filter only routes rows, so the DuckDB oracle is plain SQL."""
+    from crawler_spark.frontier.cuckoo import CuckooState
+    from crawler_spark.frontier.seen import filter_unseen
+
+    customer = _t(spark, sf_dir, "customer")
+    # restrict the seen set so a real mix of hits and misses flows through
+    # the filter (every customer has *some* order at small SF, which would
+    # make the anti-join trivially empty and the probe path untested)
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    n_buckets = 8
+
+    def keyed(df: DataFrame, key: str, *extra: str) -> DataFrame:
+        url = F.col(key).cast("string")
+        return df.select(
+            *extra,
+            url.alias("url_canon"),
+            F.xxhash64(url).alias("url_hash"),
+            F.pmod(F.xxhash64(url), F.lit(n_buckets)).cast("int").alias("bucket"),
+        )
+
+    cands = keyed(customer, "c_custkey", "c_custkey", "c_name")
+    seen = keyed(orders, "o_custkey")
+    cs = CuckooState(n_buckets=n_buckets, table_buckets=1 << 12)
+    filt = cs.merge(cs.empty(spark), seen.select("bucket", "url_hash"))
+    return filter_unseen(cands, seen, filt, cs).select("c_custkey", "c_name")
 
 
 def q_robots_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -762,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "next_page_rule": q_next_page_rule,
         # frontier primitives (SURVEY §2.3/2.5)
         "seen_anti_join": q_seen_anti_join,
+        "cuckoo_seen_anti_join": q_cuckoo_seen_anti_join,
         "robots_semi_join": q_robots_semi_join,
         "robots_parse": q_robots_parse,
         "politeness_topk": q_politeness_topk,
@@ -1065,7 +1099,15 @@ SELECT a.doc_id,
 FROM documents a LEFT JOIN documents b ON b.doc_id = a.doc_id + 1""",
         "seen_anti_join": (
             "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS "
-            "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+            "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_totalprice > 400000)"
+        ),
+        # the cuckoo prefilter only routes rows between the fast path and the
+        # exact anti-join; the result set is identical to plain NOT EXISTS
+        "cuckoo_seen_anti_join": (
+            "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_totalprice > 400000)"
         ),
         "robots_semi_join": (
             "SELECT c_custkey, c_acctbal FROM customer c WHERE EXISTS "

@@ -70,6 +70,9 @@ class BloomState:
         self.n_buckets = n_buckets
         self.n_bits = bits_per_bucket
 
+    def state_bytes(self) -> int:
+        return self.n_buckets * self.n_bits // 8
+
     def empty(self, spark) -> DataFrame:
         zero = bytes(self.n_bits // 8)
         rows = [(b, zero) for b in range(self.n_buckets)]
@@ -192,11 +195,14 @@ def filter_unseen(
     bloom: DataFrame | None,
     bloom_state: BloomState | None,
 ) -> DataFrame:
-    """Exact unseen filter with optional Bloom prefilter.
+    """Exact unseen filter with optional Bloom/cuckoo prefilter.
 
     ``candidates`` must carry (url_hash, bucket); ``seen`` is the exact seen
-    table with (url_hash, bucket). Definitely-new rows (bloom miss) skip the
+    table with (url_hash, bucket). Definitely-new rows (filter miss) skip the
     exact anti-join entirely; only maybe-seen rows are checked exactly.
+    ``bloom_state`` is any state object with the partitioned-filter duck
+    type (``probe`` / ``probe_broadcast`` / ``state_bytes``): BloomState or
+    :class:`crawler_spark.frontier.cuckoo.CuckooState`.
     """
     # Join on url_canon ALONE: string equality is exact by itself (no
     # reliance on the 64-bit hash, whose birthday collisions at 10^10 URLs
@@ -209,7 +215,7 @@ def filter_unseen(
     key = ["url_canon"]
     if bloom is None or bloom_state is None:
         return candidates.join(seen.select(*key), key, "left_anti")
-    if bloom_state.n_buckets * bloom_state.n_bits // 8 <= BLOOM_BROADCAST_MAX_BYTES:
+    if bloom_state.state_bytes() <= BLOOM_BROADCAST_MAX_BYTES:
         probed = bloom_state.probe_broadcast(candidates, bloom)
     else:
         probed = bloom_state.probe(candidates, bloom)

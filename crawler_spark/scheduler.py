@@ -58,6 +58,7 @@ from crawler_spark.frontier.politeness import (
     politeness_cap,
     robots_allowed,
 )
+from crawler_spark.frontier.cuckoo import CuckooState
 from crawler_spark.frontier.seen import BloomState, filter_unseen
 
 FRONTIER_SCHEMA = StructType(
@@ -89,6 +90,13 @@ class CrawlConfig:
     n_buckets: int = 32
     bits_per_bucket: int = 1 << 16
     use_bloom: bool = True
+    # which approximate seen-filter fronts the exact anti-join when
+    # use_bloom is set: "bloom" (bitmap; smallest state) or "cuckoo"
+    # (fingerprint table; supports deletion → recrawl expiry without a
+    # filter rebuild). Both are partitioned by host bucket and exactness
+    # never depends on the choice (filter_unseen's anti-join backstop).
+    seen_filter: str = "bloom"
+    cuckoo_table_buckets: int = 1 << 12
     state_partitions: int = 0  # 0 → n_buckets
     # fetch-as-join strategy. "broadcast": collect+broadcast the scheduled
     # set, probe the corpus map-side — right when rounds are budget-bounded
@@ -252,7 +260,12 @@ def crawl(
     ``robots(host, disallow_prefixes)``; ``politeness(host,
     max_fetches_per_round)``."""
     nparts = cfg.state_partitions or cfg.n_buckets
-    bloom_state = BloomState(cfg.n_buckets, cfg.bits_per_bucket) if cfg.use_bloom else None
+    if not cfg.use_bloom:
+        bloom_state = None
+    elif cfg.seen_filter == "cuckoo":
+        bloom_state = CuckooState(cfg.n_buckets, cfg.cuckoo_table_buckets)
+    else:
+        bloom_state = BloomState(cfg.n_buckets, cfg.bits_per_bucket)
 
     # corpus keyed by canonical url — computed once; at scale this is the
     # Iceberg pages table, already stored canonical.
