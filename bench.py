@@ -64,7 +64,20 @@ HEADLINE = [
 def make_spark(cpus: int):
     from pyspark.sql import SparkSession
 
-    spark = (
+    # Shuffle/cache-spill files go to tmpfs when available: the sandbox has
+    # ONE virtual disk, so 32 concurrent shuffle writers serialize on the
+    # ext4 journal (event logs showed shuffle *write time* inflating 50-200×
+    # from local[8] to local[32] for single-digit-MB writes). A real N→4N
+    # executor fleet brings 4N local SSDs — per-executor local I/O is the
+    # scaling unit — so tmpfs models the cluster better than the shared
+    # /tmp disk does. Falls back to the default dir when /dev/shm is absent.
+    local_dir = os.environ.get("BENCH_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+
+    builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"crawler-spark-bench-{cpus}")
         # 4× cores: fine-grained tasks even out stragglers on a noisy box;
@@ -77,11 +90,16 @@ def make_spark(cpus: int):
         # strangles downstream pandas-UDF stages. 2 MB keeps UDF stages wide.
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
-        .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "24g"))
+        # 64g: the cached page corpus plus 32 allocation-heavy task threads
+        # need young-gen headroom — at 24g the local[32] leg spent 61s of a
+        # 74s round in GC (local[8]: 12s), masquerading as an Amdahl wall.
+        .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "64g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .getOrCreate()
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     return spark
 

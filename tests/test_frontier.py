@@ -221,6 +221,57 @@ def test_canon_batch_hypothesis():
     inner()
 
 
+def test_canon_expr_matches_kernel_adversarial(spark):
+    """canon_expr (JVM codegen fast path + masked Arrow fallback) must be
+    byte-equal to the pure-Python kernel row-for-row — including shapes
+    where Java-regex and RE2 semantics could diverge (line-terminator code
+    points vs `$`/`.`, port 0 / leading zeros, empty host) and every
+    slow-path trigger. A Java-gate rejection is harmless (the Python kernel
+    answers); a Java-gate ACCEPT with a different value is the bug class
+    this test pins."""
+    edge = [
+        "http://a.example/x#f\u2028g",   # U+2028 in fragment: Java '.' stops, RE2 doesn't
+        "http://a.example/b\u2028",      # U+2028 at end of path
+        "http://a.example/b\u0085",      # NEL at end (Java '$' line-terminator quirk)
+        "http://a.example:0/x",          # port 0 kept as :0
+        "http://a.example:00080/x",      # >5 digits → slow path
+        "http://",                       # empty host
+        "HTTP://A.Example",              # no path at all
+        "http://a.example/p?#",          # empty query and empty fragment
+        "http://a.example/p?q#",         # empty fragment only
+        "ht+p.x://a.example/",           # exotic-but-legal scheme charset
+        "http://a\t.exam\nple/x",        # unsafe bytes removed before parse
+        None,
+    ]
+    urls = ADVERSARIAL_URLS + edge
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r["c"] for r in df.select(canon_expr(F.col("url")).alias("c")).collect()]
+    want = [canonicalize_url(u) if u is not None else "" for u in urls]
+    assert got == want
+
+
+def test_outlinks_expr_matches_kernel_mixed(spark):
+    """outlinks_expr: JVM array fast path on all-fast pages, Arrow kernel on
+    pages with any slow href — equal to the Python kernel either way."""
+    from crawler_spark.frontier.canon import outlinks_expr
+
+    pages = [
+        ("https://a.example/root", '<a href="/x">1</a><a href="https://b.example/Y">2</a><a href="/x">d</a>'),
+        ("https://c.example/d/e", '<a href="rel/page">r</a><a href="/abs">a</a>'),
+        ("https://e.example/", "<p>none</p>"),
+        ("https://f.example/", '<a href="ftp://files.example/f">non-http kept out</a><a href="/ok">k</a>'),
+    ]
+    df = spark.createDataFrame(pages, ["url", "html"])
+    got = [
+        r["links"]
+        for r in df.select(
+            outlinks_expr(F.col("url"), F.col("html")).alias("links")
+        ).collect()
+    ]
+    want = [extract_outlinks(u, h) for u, h in pages]
+    assert got == want
+
+
 def test_flat_outlinks_matches_kernel(spark):
     """flat_outlinks (JVM fast path + Python slow-page routing) must be
     byte-identical to the pure-Python kernel on fast AND slow href shapes."""
