@@ -90,6 +90,10 @@ def make_spark(cpus: int):
         # strangles downstream pandas-UDF stages. 2 MB keeps UDF stages wide.
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
+        # lz4-compress serialized cached blocks (the kernel stages its page
+        # corpus DISK_ONLY): ~10× smaller footprint, decompression is
+        # per-task CPU that scales with cores.
+        .config("spark.rdd.compress", "true")
         # 64g: the cached page corpus plus 32 allocation-heavy task threads
         # need young-gen headroom — at 24g the local[32] leg spent 61s of a
         # 74s round in GC (local[8]: 12s), masquerading as an Amdahl wall.

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import time
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from crawler_spark.frontier.canon import (
@@ -144,7 +145,16 @@ def frontier_round_kernel(
         bloom = None
     seen.persist()
     seen.count()
-    pages.persist()
+    # DISK_ONLY (→ spark.local.dir, lz4 via spark.rdd.compress), NOT the
+    # default deserialized MEMORY_AND_DISK: the corpus as raw JVM strings is
+    # ~2 KiB/page (UTF-16 + object headers) — at 24M pages that is ~50 GB
+    # inside a 64 GB heap, and the whole round becomes a GC/memory-capacity
+    # wall that flatlines the local[32] leg (BENCH_scaling_24M.json eff
+    # 0.27 before this change). Compressed-serialized blocks model the real
+    # deployment — executors re-reading a compressed Iceberg/parquet corpus
+    # — and turn the re-read into decompression CPU, which scales with
+    # cores. The layout (128 url_canon hash buckets) is unchanged.
+    pages.persist(StorageLevel.DISK_ONLY)
     pages.count()
 
     t0 = time.monotonic()
