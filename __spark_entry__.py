@@ -491,6 +491,37 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-function coverage (SURVEY §2.4 array/map/JSON row): parse the
+    events ``props`` JSON payload JVM-side (``get_json_object`` — codegen,
+    no UDF) and roll up the extracted field per event_type. At scale the
+    extraction rides the scan; only the tiny per-type aggregate shuffles."""
+    events = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k.cast("long")).alias("sum_k"),
+        F.round(
+            F.sum(k.cast("decimal(18,4)")).cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_k"),
+    )
+
+
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-LATEST snapshot dedup (the Common-Crawl 'newest capture wins'
+    recrawl pattern, warc_ts-shaped): row_number over (key, ts DESC) = 1.
+    One shuffle on the key; complements dedup_keep_first's keep-smallest."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline
 # ---------------------------------------------------------------------------
@@ -652,6 +683,29 @@ def q_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed end-to-end curation pass — the 100-TB training-data shape:
+    language-ID → quality gate → exact-dedup keep-first → per-source token
+    accounting. Every stage is JVM-side column math over one scan; the only
+    shuffles are the dedup window on ``fp`` and the final tiny rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = ts.quality_features(F.col("text"))
+    enriched = docs.select(
+        "doc_id",
+        "source",
+        ts.lang_id_expr(F.col("text")).alias("lang_pred"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["quality_score"].alias("quality_score"),
+        ts.fingerprint_expr(F.col("text")).alias("fp"),
+    ).filter((F.col("lang_pred") == "en") & (F.col("quality_score") >= 0.5))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    kept = enriched.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (no SQL oracle: stateful BSP loop / approximate / stub)
 # ---------------------------------------------------------------------------
@@ -810,6 +864,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "events_hourly_rollup": q_events_hourly_rollup,
         "local_supplier_volume": q_local_supplier_volume,
+        "json_props_rollup": q_json_props_rollup,
+        "latest_event_per_user": q_latest_event_per_user,
         # training-data pipeline
         "rule_cut_all": q_rule_cut_all,
         "dedup_keep_first": q_dedup_keep_first,
@@ -828,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "quality_by_source": q_quality_by_source,
+        "curate_corpus": q_curate_corpus,
         # rows-only (stateful / approximate / stubbed decode)
         "crawl_bsp_rounds": q_crawl_bsp_rounds,
         "stream_crawl_rounds": q_stream_crawl_rounds,
@@ -1305,6 +1362,26 @@ WHERE round(list_dot_product(a.v, b.v) /
         "text_quality": _sql_text_quality(),
         "lang_id": _sql_lang_id(),
         "doc_fingerprint": _sql_doc_fingerprint(),
+        "json_props_rollup": """
+SELECT event_type, count(*) AS n_events,
+  sum(json_extract_string(props, '$.k')::INT)::BIGINT AS sum_k,
+  round(sum(json_extract_string(props, '$.k')::DECIMAL(18,4))::DOUBLE
+        / count(*), 4) AS avg_k
+FROM events GROUP BY event_type""",
+        "latest_event_per_user": """
+SELECT user_id, event_id, event_type, value FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""",
+        "curate_corpus": f"""
+WITH tq AS ({_sql_text_quality()}),
+d AS (SELECT doc_id, source, {_FP} AS fp FROM documents),
+e AS (SELECT tq.doc_id, d.source, tq.n_tokens, d.fp
+      FROM tq JOIN d USING (doc_id)
+      WHERE tq.lang_pred = 'en' AND tq.quality_score >= 0.5),
+k AS (SELECT * FROM e
+      QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1)
+SELECT source, count(*) AS n_kept, sum(n_tokens)::BIGINT AS sum_tokens
+FROM k GROUP BY source""",
         "token_counts": (
             f"SELECT doc_id, len({_TOKS})::BIGINT AS n_ws_tokens, "
             "len(regexp_extract_all(lower(text), "

@@ -58,6 +58,9 @@ HEADLINE = [
     "embedding_topk",
     "text_quality",
     "quality_by_source",
+    "json_props_rollup",
+    "latest_event_per_user",
+    "curate_corpus",
 ]
 
 
