@@ -1,0 +1,40 @@
+"""Driver-contract registry invariants — cheap, no SparkSession.
+
+The driver runs queries() vs oracle_sql() side-by-side; a key present in
+oracle_sql but missing from queries (or a non-callable entry) fails the
+gate at driver time. Pin it at test time instead.
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import __spark_entry__ as E
+
+
+def test_every_oracle_key_has_a_query():
+    qs, oracles = E.queries(), E.oracle_sql()
+    missing = set(oracles) - set(qs)
+    assert not missing, f"oracle_sql keys without queries(): {sorted(missing)}"
+
+
+def test_all_query_entries_callable_and_rows_only_documented():
+    qs, oracles = E.queries(), E.oracle_sql()
+    assert all(callable(fn) for fn in qs.values())
+    # rows-only entries (no SQL twin) must be the known stateful/approx set —
+    # adding a new oracle-less query silently weakens the gate, so list it here
+    rows_only = set(qs) - set(oracles)
+    assert rows_only == {
+        "crawl_bsp_rounds",
+        "stream_crawl_rounds",
+        "ann_lsh_topk",
+        "multimodal_features",
+        "multimodal_frame_sample",
+    }, f"unexpected rows-only queries: {sorted(rows_only)}"
+
+
+def test_oracle_sql_is_nonempty_select():
+    for name, sql in E.oracle_sql().items():
+        s = sql.strip().lower()
+        assert s.startswith(("select", "with")), f"{name} oracle is not a query"
