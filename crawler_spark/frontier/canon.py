@@ -94,18 +94,19 @@ _FAST_URL_PA = (
 _PY_WS = "".join(chr(c) for c in range(0x3001) if chr(c).isspace())
 
 
-def _canon_batch(urls: pd.Series) -> pd.Series:
-    """Vectorized :func:`canonicalize_url` over a batch.
+def _canon_arrow(arr):
+    """Arrow-native :func:`canonicalize_url` over a ``pa.Array`` of strings.
 
     Fast path runs entirely in pyarrow.compute (RE2 extract + string kernels
     over contiguous Arrow buffers — no per-row Python, no object-dtype
     pandas regex); rows the fast regex rejects (userinfo, IPv6, bad ports,
-    non-URLs) fall back to the pure-Python kernel row-by-row."""
+    non-URLs) fall back to the pure-Python kernel row-by-row. Input nulls
+    canonicalize like ``""`` (→ ``""``); output has no nulls."""
+    import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    s_orig = urls.fillna("")
-    arr = pa.Array.from_pandas(s_orig.astype(object))
+    arr = pc.fill_null(arr, "")
     trimmed = pc.utf8_trim(arr, characters=_PY_WS)
     # urlsplit removes tab/CR/LF anywhere in the URL (WHATWG unsafe bytes,
     # CPython _UNSAFE_URL_BYTES_TO_REMOVE) — mirror that before matching so
@@ -120,7 +121,7 @@ def _canon_batch(urls: pd.Series) -> pd.Series:
     has_port = pc.not_equal(port_s, "")
     port_int = pc.cast(pc.if_else(has_port, port_s, "0"), pa.int64())
     fast = pc.and_kleene(pc.is_valid(ext), pc.less_equal(port_int, 65535))
-    fast_np = fast.to_numpy(zero_copy_only=False)
+    fast_np = fast.to_numpy(zero_copy_only=False).astype(bool)
 
     scheme = pc.utf8_lower(pc.struct_field(ext, "scheme"))
     host = pc.utf8_lower(pc.struct_field(ext, "host"))
@@ -138,23 +139,35 @@ def _canon_batch(urls: pd.Series) -> pd.Series:
         pc.not_equal(query, ""), pc.binary_join_element_wise("?", query, ""), ""
     )
     joined = pc.binary_join_element_wise(scheme, "://", host, port_sfx, path, q_sfx, "")
-    out = pc.if_else(fast, joined, empty).to_pandas().set_axis(s_orig.index)
+    out = pc.if_else(fast, joined, empty)
     slow = ~fast_np
     if slow.any():
         # canonicalize_url strips internally, so the originals are fine here
-        out[slow] = s_orig[slow].map(canonicalize_url)
+        out_np = out.to_numpy(zero_copy_only=False)
+        orig_np = arr.to_numpy(zero_copy_only=False)
+        out_np[slow] = np.array([canonicalize_url(u) for u in orig_np[slow]], dtype=object)
+        return pa.array(out_np, type=pa.string())
     return out
 
 
-def _resolve_batch(base: pd.Series, href: pd.Series) -> pd.Series:
-    """Vectorized urljoin for the two dominant shapes (absolute URL,
+def _canon_batch(urls: pd.Series) -> pd.Series:
+    """Vectorized :func:`canonicalize_url` over a pandas batch (pandas-UDF
+    entry point; the work happens in :func:`_canon_arrow`)."""
+    import pyarrow as pa
+
+    s_orig = urls.fillna("")
+    out = _canon_arrow(pa.Array.from_pandas(s_orig.astype(object)))
+    return out.to_pandas().set_axis(s_orig.index)
+
+
+def _resolve_arrow(b, h):
+    """Arrow-native urljoin for the two dominant shapes (absolute URL,
     root-relative path) via pyarrow.compute; everything else falls back to
-    urljoin per row."""
+    urljoin per row. Inputs/output ``pa.Array`` of strings, no nulls out."""
+    import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    b = pa.Array.from_pandas(base.astype(object))
-    h = pa.Array.from_pandas(href.astype(object))
     is_abs = pc.match_substring_regex(h, r"^[A-Za-z][A-Za-z0-9+.\-]*://")
     root_rel = pc.and_(pc.starts_with(h, "/"), pc.invert(pc.starts_with(h, "//")))
     origin = pc.struct_field(
@@ -165,11 +178,27 @@ def _resolve_batch(base: pd.Series, href: pd.Series) -> pd.Series:
     out_pa = pc.if_else(
         is_abs, h, pc.if_else(pc.and_kleene(root_rel, pc.is_valid(origin)), rr, empty)
     )
-    out = out_pa.to_pandas().set_axis(href.index)
-    rest = out.isna()
+    rest = pc.is_null(out_pa).to_numpy(zero_copy_only=False).astype(bool)
     if rest.any():
-        out[rest] = [urljoin(bb, hh) for bb, hh in zip(base[rest], href[rest])]
-    return out
+        out_np = out_pa.to_numpy(zero_copy_only=False)
+        b_np = b.to_numpy(zero_copy_only=False)
+        h_np = h.to_numpy(zero_copy_only=False)
+        out_np[rest] = np.array(
+            [urljoin(bb, hh) for bb, hh in zip(b_np[rest], h_np[rest])], dtype=object
+        )
+        return pa.array(out_np, type=pa.string())
+    return out_pa
+
+
+def _resolve_batch(base: pd.Series, href: pd.Series) -> pd.Series:
+    """Pandas wrapper of :func:`_resolve_arrow` (pandas-UDF entry point)."""
+    import pyarrow as pa
+
+    out = _resolve_arrow(
+        pa.Array.from_pandas(base.astype(object)),
+        pa.Array.from_pandas(href.astype(object)),
+    )
+    return out.to_pandas().set_axis(href.index)
 
 
 def _outlinks_batch(base: pd.Series, html: pd.Series) -> pd.Series:
@@ -279,11 +308,20 @@ def flat_outlinks(df, carry_cols: list[str], url_col: str = "url_canon", html_co
     Same semantics as ``posexplode(outlinks_expr(url, html))`` but without
     rebuilding per-page Python lists only for the JVM to explode them again:
     the href scan runs JVM-side (``regexp_extract_all`` in codegen, html
-    never crosses Arrow), and one ``mapInPandas`` resolves + canonicalizes
+    never crosses Arrow), and one ``mapInArrow`` resolves + canonicalizes
     the flat href stream and emits flat rows directly.
+
+    Arrow end-to-end: strings never leave contiguous Arrow buffers — the
+    per-row PyObject materialization of a pandas object column (one Python
+    str per href, ~10× the string bytes in allocator traffic) is exactly
+    the memory-bandwidth term that stops scaling at high core counts, so
+    the batch kernel is pyarrow.compute + numpy index math only, with
+    per-row Python confined to the rare slow-path rows inside
+    :func:`_canon_arrow` / :func:`_resolve_arrow`.
     """
     import numpy as np
     import pyarrow as pa
+    import pyarrow.compute as pc
     from pyspark.sql.types import IntegerType, StructField, StructType
 
     scanned = df.select(
@@ -294,54 +332,75 @@ def flat_outlinks(df, carry_cols: list[str], url_col: str = "url_canon", html_co
         ).alias("_hrefs"),
     )
     carry_fields = [f for f in scanned.schema.fields if f.name in carry_cols]
+    carry_names = [f.name for f in carry_fields]
     out_schema = StructType(
         carry_fields
         + [StructField("pos", IntegerType()), StructField("child_url", StringType())]
     )
 
     def emit(batches):
-        for pdf in batches:
-            base = pdf["_base"].fillna("").reset_index(drop=True)
-            hrefs = pdf["_hrefs"].reset_index(drop=True)
-            counts = hrefs.map(lambda a: 0 if a is None else len(a)).to_numpy()
+        for rb in batches:
+            cols = {name: rb.column(i) for i, name in enumerate(rb.schema.names)}
+            hrefs = cols["_hrefs"]
+            counts = pc.fill_null(pc.list_value_length(hrefs), 0).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
             if counts.sum() == 0:
                 continue
-            row_pos = np.repeat(np.arange(len(base)), counts)
-            flat = np.concatenate(
-                [np.asarray(a, dtype=object) for a in hrefs if a is not None and len(a)]
+            # flatten order: row-major, so row_pos is nondecreasing
+            row_pos = np.repeat(np.arange(len(counts)), counts)
+            flat = pc.list_flatten(hrefs)
+            href = pc.utf8_trim(flat, characters=_PY_WS)
+            keep = pc.and_(
+                pc.not_equal(href, ""),
+                pc.invert(
+                    pc.or_(
+                        pc.or_(
+                            pc.starts_with(href, "#"),
+                            pc.starts_with(href, "javascript:"),
+                        ),
+                        pc.starts_with(href, "mailto:"),
+                    )
+                ),
             )
-            href = pd.Series(flat, dtype=object).str.strip()
-            keep = (href != "") & ~href.str.startswith(("#", "javascript:", "mailto:"))
-            href, row_pos = href[keep], row_pos[keep.to_numpy()]
-            if len(href) == 0:
+            keep_np = keep.to_numpy(zero_copy_only=False).astype(bool)
+            if not keep_np.any():
                 continue
-            resolved = _resolve_batch(base.iloc[row_pos].set_axis(href.index), href)
-            canon = _canon_batch(resolved)
-            keep2 = canon.str.startswith(("http://", "https://")).to_numpy()
-            rows = row_pos[keep2]
-            urls = canon.to_numpy()[keep2]
-            if not len(rows):
+            href = pc.filter(href, keep)
+            rows = row_pos[keep_np]
+            base = pc.take(pc.fill_null(cols["_base"], ""), pa.array(rows))
+            canon = _canon_arrow(_resolve_arrow(base, href))
+            keep2 = pc.or_(
+                pc.starts_with(canon, "http://"), pc.starts_with(canon, "https://")
+            )
+            keep2_np = keep2.to_numpy(zero_copy_only=False).astype(bool)
+            if not keep2_np.any():
                 continue
+            urls = pc.filter(canon, keep2)
+            rows = rows[keep2_np]
             # per-page first-occurrence dedup + in-page position, all numpy:
             # rows is nondecreasing (flatten order), so a (row, url-code)
-            # int64 key + C hashtable `duplicated` beats pandas
-            # drop_duplicates on object strings, and pos falls out of group
-            # run-lengths instead of a groupby.cumcount.
-            codes = pa.compute.dictionary_encode(
-                pa.array(urls, type=pa.string())
-            ).indices.to_numpy(zero_copy_only=False)
-            key = rows.astype(np.int64) << np.int64(32) | codes.astype(np.int64)
+            # int64 key + C hashtable `duplicated` beats string dedup, and
+            # pos falls out of group run-lengths instead of a groupby.
+            codes = pc.dictionary_encode(urls).indices.to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            key = rows.astype(np.int64) << np.int64(32) | codes
             first = ~pd.Series(key).duplicated().to_numpy()
-            rows, urls = rows[first], urls[first]
+            rows = rows[first]
+            urls = pc.take(urls, pa.array(np.flatnonzero(first)))
             starts = np.flatnonzero(np.r_[True, rows[1:] != rows[:-1]])
             run_len = np.diff(np.r_[starts, len(rows)])
             pos = (np.arange(len(rows)) - np.repeat(starts, run_len)).astype("int32")
-            res = pdf[[f.name for f in carry_fields]].iloc[rows].reset_index(drop=True)
-            res["pos"] = pos
-            res["child_url"] = urls
-            yield res
+            take_idx = pa.array(rows)
+            arrays = [pc.take(cols[c], take_idx) for c in carry_names]
+            arrays.append(pa.array(pos))
+            arrays.append(urls)
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=[*carry_names, "pos", "child_url"]
+            )
 
-    return scanned.mapInPandas(emit, out_schema)
+    return scanned.mapInArrow(emit, out_schema)
 
 
 def outlinks_expr(url_col: Column, html_col: Column) -> Column:

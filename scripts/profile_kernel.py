@@ -20,10 +20,11 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+from pyspark import StorageLevel  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from bench import make_spark  # noqa: E402
-from crawler_spark.benchmarks import synth_frontier, synth_pages  # noqa: E402
+from crawler_spark.benchmarks import FETCH_BUCKETS, synth_frontier, synth_pages  # noqa: E402
 from crawler_spark.frontier.canon import (  # noqa: E402
     canon_expr,
     flat_outlinks,
@@ -39,11 +40,16 @@ from crawler_spark.scheduler import _dedup_candidates  # noqa: E402
 def main() -> int:
     cpus = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     n_urls = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
-    n_hosts, n_buckets, budget, seen_every = 4000, 32, 512, 3
+    n_buckets, budget, seen_every = 32, 512, 3
+    # host count scales with n_urls exactly as in bench_scaling.py so the
+    # politeness cap admits the same fraction of the frontier at any size
+    n_hosts = max(n_urls // 500, 1000)
     spark = make_spark(cpus)
-
     raw = synth_frontier(spark, n_urls, n_hosts)
-    pages = synth_pages(raw, links_per_page=12, filler_words=60)
+    # mirror the kernel's corpus staging: bucketed layout + DISK_ONLY (lz4)
+    pages = synth_pages(raw, links_per_page=12, filler_words=60).repartition(
+        FETCH_BUCKETS, "url_canon"
+    )
     seen = (
         raw.filter(F.pmod("id", F.lit(seen_every)) == 0)
         .select(F.lower(F.regexp_replace("url", ":443", "")).alias("url_canon"))
@@ -56,14 +62,18 @@ def main() -> int:
     bloom = bloom_state.merge(bloom_state.empty(spark), seen.select("bucket", "url_hash"))
     bloom.persist().count()
     seen.persist().count()
-    pages.persist().count()
+    pages.persist(StorageLevel.DISK_ONLY)
+    pages.count()
 
     for attempt in range(3):
         stages = {}
 
-        def mat(name, df):
+        def mat(name, df, level=None):
             t0 = time.monotonic()
-            df.persist()
+            # html-bearing stages must stage serialized+compressed like the
+            # kernel's corpus: 24M pages as deserialized JVM strings would
+            # be a GC wall that belongs to the measurement error, not the job
+            df.persist(level or StorageLevel.MEMORY_AND_DISK_DESER)
             n = df.count()
             stages[name] = {"sec": round(time.monotonic() - t0, 2), "rows": n}
             return df
@@ -91,17 +101,22 @@ def main() -> int:
             frontier,
             spark.createDataFrame([], "host string, max_fetches_per_round int"),
             budget,
+            cap=budget,
         )
         sched = mat("politeness", sched)
+        # co-partitioned shuffled-hash semi join, exactly as the kernel plans it
         fetched = pages.join(
-            F.broadcast(sched.select("url_canon")), "url_canon", "left_semi"
+            sched.select("url_canon").repartition(FETCH_BUCKETS, "url_canon").hint("shuffle_hash"),
+            "url_canon",
+            "left_semi",
         )
-        out = flat_outlinks(fetched.select("url_canon", "html"), ["url_canon"])
+        fetched = mat("fetch", fetched.select("url_canon", "html"), StorageLevel.DISK_ONLY)
+        out = flat_outlinks(fetched, ["url_canon"])
         t0 = time.monotonic()
         n = out.count()
-        stages["fetch+outlinks"] = {"sec": round(time.monotonic() - t0, 2), "rows": n}
+        stages["outlinks"] = {"sec": round(time.monotonic() - t0, 2), "rows": n}
         total = round(time.monotonic() - t_all, 2)
-        for df in (cands, dd, fresh, sched):
+        for df in (cands, dd, fresh, sched, fetched):
             df.unpersist()
         print(json.dumps({"attempt": attempt, "cpus": cpus, "n_urls": n_urls,
                           "total": total, "stages": stages}), flush=True)
