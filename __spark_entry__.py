@@ -507,6 +507,33 @@ def q_json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_type_hour_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets coverage (SURVEY §2.4 rollup row): ROLLUP over
+    (event_type, hour bucket) computes detail + per-type subtotal + grand
+    total in ONE pass — partial aggregation handles all three grouping sets
+    map-side, so the shuffle carries only the (tiny) distinct group keys.
+    The crawl-metrics use: per-(host, round) counters with per-host and
+    global subtotals without re-scanning the metrics table. NULL group keys
+    from rolled-up levels are coalesced to the sentinel 'ALL' identically on
+    both engines so the value hash is engine-neutral."""
+    events = _t(spark, sf_dir, "events")
+    hour = F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss")
+    return (
+        events.select("event_type", hour.alias("bucket_hour"), "value")
+        .rollup("event_type", "bucket_hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("bucket_hour", F.lit("ALL")).alias("bucket_hour"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-LATEST snapshot dedup (the Common-Crawl 'newest capture wins'
     recrawl pattern, warc_ts-shaped): row_number over (key, ts DESC) = 1.
@@ -863,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_sum": q_running_sum,
         "sessionize": q_sessionize,
         "events_hourly_rollup": q_events_hourly_rollup,
+        "events_type_hour_rollup": q_events_type_hour_rollup,
         "local_supplier_volume": q_local_supplier_volume,
         "json_props_rollup": q_json_props_rollup,
         "latest_event_per_user": q_latest_event_per_user,
@@ -1224,6 +1252,14 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_hour,
        CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
        count(DISTINCT user_id) AS n_users
 FROM events GROUP BY 1, 2""",
+        "events_type_hour_rollup": """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S'), 'ALL')
+         AS bucket_hour,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY ROLLUP (event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S'))""",
         "local_supplier_volume": """
 SELECT n_name,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
