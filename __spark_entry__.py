@@ -507,6 +507,31 @@ def q_json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (SURVEY §2.4 range/as-of row): for every purchase event,
+    the same user's latest click at-or-before it. Implemented the way that
+    survives 100× — union-and-carry-forward: one window over (user, ts)
+    with last(click_id, ignorenulls) instead of a per-row range join whose
+    candidate set explodes with history length. One shuffle on user_id;
+    ties at equal ts break by event_id (a click at the same ts with a
+    smaller id counts as prior)."""
+    events = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = events.withColumn(
+        "last_click_id",
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("event_id")), ignorenulls=True
+        ).over(w),
+    )
+    return carried.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "last_click_id"
+    )
+
+
 def q_events_type_hour_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-sets coverage (SURVEY §2.4 rollup row): ROLLUP over
     (event_type, hour bucket) computes detail + per-type subtotal + grand
@@ -891,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "events_hourly_rollup": q_events_hourly_rollup,
         "events_type_hour_rollup": q_events_type_hour_rollup,
+        "asof_last_click": q_asof_last_click,
         "local_supplier_volume": q_local_supplier_volume,
         "json_props_rollup": q_json_props_rollup,
         "latest_event_per_user": q_latest_event_per_user,
@@ -1260,6 +1286,14 @@ SELECT coalesce(event_type, 'ALL') AS event_type,
        CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY ROLLUP (event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S'))""",
+        "asof_last_click": """
+SELECT event_id, user_id, last_click_id FROM (
+  SELECT event_id, user_id, event_type,
+         last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id
+  FROM events)
+WHERE event_type = 'purchase'""",
         "local_supplier_volume": """
 SELECT n_name,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))

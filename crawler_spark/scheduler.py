@@ -522,9 +522,19 @@ def _snapshot(
     """Write a state snapshot partitioned by host-bucket and read it back —
     truncates lineage (the BSP barrier) and doubles as the checkpoint.
     With Iceberg this becomes ``writeTo(...).createOrReplace()`` + snapshot
-    id in the manifest."""
+    id in the manifest.
+
+    Skew kill (SURVEY §2.5): bucket = pmod(xxhash64(host), n) — a mega-host
+    occupies ONE bucket, so partitioning state by bucket alone would write
+    that host's whole frontier through one task. Salting with the row's own
+    ``url_hash`` spreads a hot bucket across tasks while keeping rows of a
+    bucket addressable (the salt is a function of columns already in the
+    row, so any reader can re-derive the layout)."""
     cols = df.columns
     if "bucket" in cols and nparts > 1:
-        df = df.repartition(nparts, "bucket")
+        if "url_hash" in cols:
+            df = df.repartition(nparts, "bucket", F.pmod("url_hash", F.lit(16)))
+        else:
+            df = df.repartition(nparts, "bucket")
     df.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)

@@ -121,3 +121,31 @@ def test_politeness_window_has_no_single_partition_exchange(spark):
     for df in (scheduled, deferred):
         assert "SinglePartition" not in _plan(df)
     assert scheduled.count() == 5 * 4  # 5 hosts × budget 4
+
+
+def test_state_snapshot_salting_spreads_hot_host(spark, tmp_path):
+    """One host holding 90% of the frontier maps to ONE bucket; the snapshot
+    repartition must still spread its rows across tasks via the url_hash
+    salt instead of writing them through a single partition."""
+    from crawler_spark.scheduler import _snapshot
+
+    hot = spark.range(9000).select(
+        F.format_string("https://hot.example.com/p/%d", "id").alias("url_canon"),
+        F.lit("hot.example.com").alias("host"),
+        F.lit(3).cast("int").alias("bucket"),
+        F.xxhash64(F.format_string("https://hot.example.com/p/%d", "id")).alias("url_hash"),
+    )
+    cold = spark.range(1000).select(
+        F.format_string("https://h%d.example.com/", "id").alias("url_canon"),
+        F.format_string("h%d.example.com", "id").alias("host"),
+        F.pmod("id", F.lit(8)).cast("int").alias("bucket"),
+        F.xxhash64("id").alias("url_hash"),
+    )
+    snap = _snapshot(spark, hot.unionByName(cold), str(tmp_path / "state"), 8)
+    sizes = [
+        r["n"]
+        for r in snap.groupBy(F.spark_partition_id().alias("p")).agg(F.count("*").alias("n")).collect()
+    ]
+    assert snap.count() == 10000
+    # without the salt the hot bucket's 9000 rows land in one partition
+    assert max(sizes) < 4000, sizes
