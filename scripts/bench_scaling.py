@@ -65,7 +65,7 @@ def run_at(cpus: int, n_urls: int) -> dict:
         env=env,
         capture_output=True,
         text=True,
-        timeout=3600,
+        timeout=int(os.environ.get("SCALE_LEG_TIMEOUT", "7200")),
     )
     for line in out.stdout.splitlines():
         if line.startswith("KERNEL_RESULT "):
