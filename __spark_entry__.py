@@ -15,7 +15,8 @@ Operator families covered (SURVEY.md §2 + north-rule pipeline ops):
   robots semi-join, politeness top-k window (F6), frontier union (F1)
 * relational coverage — agg (TPC-H Q1-shape), 3-way join + top-k
   (Q3-shape), broadcast dim join rollup, distinct counts, running and
-  sessionized windows (§2.4)
+  sessionized windows, pivot with pinned values, exact disc quantiles,
+  EXCEPT ALL multiset difference, deterministic hash-split sampling (§2.4)
 * training-data pipeline — exact dedup, MinHash signatures, LSH candidate
   pairs + estimated Jaccard, SimHash, n-gram Jaccard, embedding cosine
   top-k, text quality + language-ID (pipeline/ package)
@@ -847,6 +848,116 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(media, every_n=4, allow_stub=True)
 
 
+def q_events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (§2.4 grouping family): event_type fanned out to columns per
+    day. The value list is pinned so the output schema is static at plan
+    time — at scale this avoids the extra distinct-scan job Spark otherwise
+    runs to discover pivot values. Counts are coalesced to 0 to match
+    conditional-aggregation (FILTER) semantics."""
+    events = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+    p = events.groupBy(day).pivot("event_type", types).agg(F.count(F.lit(1)))
+    return p.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types]
+    )
+
+
+def q_quantity_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete quantiles (p50/p90) per group via rank-at-ceil(q*n):
+    returns actual data values, so the result is engine-bit-exact (no
+    interpolation). This is the audit twin; the 100-TB path is
+    approx_percentile (t-digest sketch, map-side combine, no per-group
+    sort) — asserted equal-within-epsilon in tests, not hashed here."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(F.col("l_quantity").asc())
+    wc = Window.partitionBy("l_returnflag")
+    r = li.select(
+        "l_returnflag",
+        "l_quantity",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    pick = lambda q: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.ceil(F.col("n") * q), F.col("l_quantity"))
+    )
+    return r.groupBy("l_returnflag").agg(
+        pick(0.5).alias("p50_qty"),
+        pick(0.9).alias("p90_qty"),
+        F.max("n").alias("n_rows"),
+    )
+
+
+def q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-split sampling (train/eval splits at corpus
+    scale): keep docs whose md5(doc_id) first hex digit ∈ {0,1} (a fixed
+    2/16 slice). Unlike df.sample(), the membership of a row is a pure
+    function of its key — stable across runs, partitionings, and engines."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return (
+        docs.filter(bucket.isin("0", "1"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+def q_events_in_promo_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (point-in-interval) join via hourly bucketing: intervals are
+    exploded to the hour buckets they overlap, events join on their own
+    bucket (equi-join!), then the exact ts-in-[start,end) filter runs on
+    the co-located pair. A naive theta join is a BroadcastNestedLoopJoin —
+    O(|events|·|intervals|) compares; the bucketed form shuffles on
+    bucket_hour only, and each event meets only the intervals overlapping
+    its hour. Each (event, interval) pair appears at most once because an
+    event has exactly one bucket. Asserted nested-loop-free in
+    tests/test_relational.py."""
+    events = _t(spark, sf_dir, "events")
+    base = "timestamp '2024-01-01 00:00:00'"
+    promos = spark.range(20).select(
+        F.col("id").alias("promo_id"),
+        F.expr(f"{base} + make_interval(0, 0, 0, 0, id * 36, 0, 0)").alias("p_start"),
+        F.expr(f"{base} + make_interval(0, 0, 0, 0, id * 36 + 5, 0, 0)").alias("p_end"),
+    )
+    buckets = promos.select(
+        "promo_id",
+        "p_start",
+        "p_end",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col("p_start")),
+                F.date_trunc("hour", F.col("p_end") - F.expr("interval 1 microsecond")),
+                F.expr("interval 1 hour"),
+            )
+        ).alias("bucket_hour"),
+    )
+    ev = events.withColumn("bucket_hour", F.date_trunc("hour", F.col("ts")))
+    return (
+        ev.join(F.broadcast(buckets), "bucket_hour")
+        .filter((F.col("ts") >= F.col("p_start")) & (F.col("ts") < F.col("p_end")))
+        .groupBy("promo_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def q_view_except_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set-op (§2.4): EXCEPT ALL keeps surplus multiplicity
+    (views beyond a user's clicks), unlike EXCEPT/anti-join which would
+    drop a user entirely on any click. Rolled up to per-user surplus."""
+    events = _t(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select("user_id")
+    clicks = events.filter(F.col("event_type") == "click").select("user_id")
+    return (
+        views.exceptAll(clicks)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_excess_views"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
@@ -920,6 +1031,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_supplier_volume": q_local_supplier_volume,
         "json_props_rollup": q_json_props_rollup,
         "latest_event_per_user": q_latest_event_per_user,
+        "events_type_pivot": q_events_type_pivot,
+        "quantity_quantiles": q_quantity_quantiles,
+        "view_except_click": q_view_except_click,
+        "events_in_promo_windows": q_events_in_promo_windows,
         # training-data pipeline
         "rule_cut_all": q_rule_cut_all,
         "dedup_keep_first": q_dedup_keep_first,
@@ -939,6 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "quality_by_source": q_quality_by_source,
         "curate_corpus": q_curate_corpus,
+        "stratified_sample_docs": q_stratified_sample_docs,
         # rows-only (stateful / approximate / stubbed decode)
         "crawl_bsp_rounds": q_crawl_bsp_rounds,
         "stream_crawl_rounds": q_stream_crawl_rounds,
@@ -1442,6 +1558,47 @@ FROM events GROUP BY event_type""",
 SELECT user_id, event_id, event_type, value FROM events
 QUALIFY row_number() OVER (
   PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""",
+        "events_type_pivot": """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(*) FILTER (WHERE event_type = 'click') AS n_click,
+       count(*) FILTER (WHERE event_type = 'error') AS n_error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+       count(*) FILTER (WHERE event_type = 'view') AS n_view
+FROM events GROUP BY 1""",
+        "quantity_quantiles": """
+WITH r AS (
+  SELECT l_returnflag, l_quantity,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem)
+SELECT l_returnflag,
+       max(CASE WHEN rn = ceil(n * 0.5) THEN l_quantity END) AS p50_qty,
+       max(CASE WHEN rn = ceil(n * 0.9) THEN l_quantity END) AS p90_qty,
+       max(n) AS n_rows
+FROM r GROUP BY l_returnflag""",
+        "events_in_promo_windows": """
+WITH p AS (
+  SELECT i AS promo_id,
+         TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL '36 hours' AS p_start,
+         TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL '36 hours'
+           + INTERVAL '5 hours' AS p_end
+  FROM range(20) t(i))
+SELECT promo_id, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events e JOIN p ON e.ts >= p.p_start AND e.ts < p.p_end
+GROUP BY promo_id""",
+        "view_except_click": """
+WITH d AS (
+  SELECT user_id FROM events WHERE event_type = 'view'
+  EXCEPT ALL
+  SELECT user_id FROM events WHERE event_type = 'click')
+SELECT user_id, count(*) AS n_excess_views FROM d GROUP BY user_id""",
+        "stratified_sample_docs": """
+SELECT lang, count(*) AS n_sampled, sum(n_chars)::BIGINT AS sum_chars
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+GROUP BY lang""",
         "curate_corpus": f"""
 WITH tq AS ({_sql_text_quality()}),
 d AS (SELECT doc_id, source, {_FP} AS fp FROM documents),

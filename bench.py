@@ -61,6 +61,11 @@ HEADLINE = [
     "json_props_rollup",
     "latest_event_per_user",
     "curate_corpus",
+    "events_type_pivot",
+    "quantity_quantiles",
+    "view_except_click",
+    "events_in_promo_windows",
+    "stratified_sample_docs",
 ]
 
 
