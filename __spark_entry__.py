@@ -636,7 +636,7 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return dd.ngram_jaccard_pairs(
-        docs, "doc_id", "text", ngram=2, min_jaccard=0.05, min_common=2
+        docs, "doc_id", "text", ngram=2, min_jaccard=0.05, min_common=2, df_cap=50
     )
 
 
@@ -958,6 +958,21 @@ def q_view_except_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_purchase_intersect_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set-op (§2.4): INTERSECT ALL — min-multiplicity overlap of
+    two event streams per user. Completes the set-op family (unionByName /
+    EXCEPT ALL / INTERSECT ALL); plans as one shuffle on user_id with
+    map-side partial counts, no join explosion."""
+    events = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select("user_id")
+    signups = events.filter(F.col("event_type") == "signup").select("user_id")
+    return (
+        purchases.intersectAll(signups)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
@@ -1034,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_pivot": q_events_type_pivot,
         "quantity_quantiles": q_quantity_quantiles,
         "view_except_click": q_view_except_click,
+        "purchase_intersect_signup": q_purchase_intersect_signup,
         "events_in_promo_windows": q_events_in_promo_windows,
         # training-data pipeline
         "rule_cut_all": q_rule_cut_all,
@@ -1483,9 +1499,11 @@ FROM g GROUP BY user_id""",
         "simhash": _sql_simhash(SIMHASH_BITS),
         "ngram_jaccard": f"""
 WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-grams AS (SELECT doc_id, unnest(list_distinct(list_transform(
+grams0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
             range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))) AS shingle
           FROM tk WHERE len(toks) >= 2),
+grams AS (SELECT * FROM grams0 WHERE shingle NOT IN (
+            SELECT shingle FROM grams0 GROUP BY shingle HAVING count(*) > 50)),
 sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
 common AS (
   SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS n_common
@@ -1594,6 +1612,12 @@ WITH d AS (
   EXCEPT ALL
   SELECT user_id FROM events WHERE event_type = 'click')
 SELECT user_id, count(*) AS n_excess_views FROM d GROUP BY user_id""",
+        "purchase_intersect_signup": """
+WITH d AS (
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+  INTERSECT ALL
+  SELECT user_id FROM events WHERE event_type = 'signup')
+SELECT user_id, count(*) AS n_overlap FROM d GROUP BY user_id""",
         "stratified_sample_docs": """
 SELECT lang, count(*) AS n_sampled, sum(n_chars)::BIGINT AS sum_chars
 FROM documents

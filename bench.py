@@ -64,6 +64,7 @@ HEADLINE = [
     "events_type_pivot",
     "quantity_quantiles",
     "view_except_click",
+    "purchase_intersect_signup",
     "events_in_promo_windows",
     "stratified_sample_docs",
 ]

@@ -289,19 +289,32 @@ def ngram_jaccard_pairs(
     ngram: int = 2,
     min_jaccard: float = 0.5,
     min_common: int = 2,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over word-n-gram sets for every pair sharing ≥
     ``min_common`` shingles.
 
     Plan: explode → self-equi-join on shingle → pair-count agg → join the
     two per-doc set sizes → ratio. The shingle join is where skew lives at
-    scale (hot shingles); countermeasures: (a) distinct shingles per doc
-    (bounds fanout per doc), (b) AQE skew-join on the equi-join, (c) a
-    document-frequency cap — drop shingles appearing in > df_cap docs
-    (stopword-grams carry no dedup signal). df_cap left to the caller at
-    small SF for oracle parity.
+    scale (hot shingles): a shingle in c docs contributes c·(c-1)/2 join
+    rows, so stopword-grams ("of the") dominate the whole job while
+    carrying zero dedup signal. ``df_cap`` drops shingles appearing in
+    more than df_cap documents BEFORE the self-join, via a broadcast
+    anti-join (the hot list is tiny by construction: at most
+    total_instances/df_cap shingles). Set sizes are computed over the
+    same capped shingle universe, so Jaccard stays internally consistent
+    — it becomes "Jaccard over discriminative shingles", the form that
+    survives 100 TB. Remaining skew below the cap: AQE skew-join.
     """
     ex = exploded_shingles(df, id_col, text_col, ngram)
+    if df_cap is not None:
+        hot = (
+            ex.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > df_cap)
+            .select("shingle")
+        )
+        ex = ex.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     l, r = ex.alias("l"), ex.alias("r")
     common = (

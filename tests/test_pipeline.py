@@ -178,6 +178,38 @@ def test_ngram_jaccard_matches_python(docs_df):
     assert (0, 2) in got and got[(0, 2)] == 1.0
 
 
+def test_ngram_jaccard_df_cap_matches_python(docs_df):
+    """df_cap drops shingles present in > cap docs BEFORE the self-join;
+    set sizes use the same capped universe (internally consistent Jaccard
+    over discriminative shingles)."""
+    cap = 2
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["jaccard"])
+        for r in dd.ngram_jaccard_pairs(
+            docs_df, "doc_id", "text", ngram=2, min_jaccard=0.0, min_common=1, df_cap=cap
+        ).collect()
+    }
+    sets = {i: py_shingles(t, 2) for i, t in DOCS}
+    from collections import Counter
+
+    dfreq = Counter(s for sh in sets.values() for s in sh)
+    capped = {i: {s for s in sh if dfreq[s] <= cap} for i, sh in sets.items()}
+    expect = {}
+    for a in sorted(capped):
+        for b in sorted(capped):
+            if a < b:
+                inter = len(capped[a] & capped[b])
+                if inter >= 1:
+                    union = len(capped[a] | capped[b])
+                    expect[(a, b)] = (inter, round(inter / union, 6))
+    assert got == expect
+    # the 3-way dup family {0,1,2} shares shingles with df=3 > cap, which
+    # must NOT count toward overlap; exact dups 0/2 still pair via their
+    # one df=2 shingle ("lazy dog"); doc 1 pairs with nobody ("lazy cat")
+    assert got[(0, 2)] == (1, 1.0)
+    assert not any(1 in pair for pair in got)
+
+
 # ---------------------------------------------------------------------------
 # text stats
 # ---------------------------------------------------------------------------
