@@ -839,6 +839,17 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "kind", "size_bytes", "content_md5")
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize as a map-only mapInPandas stage (decode stubbed:
+    deterministic fake preserving the (bytes,w,h)->bytes contract; plumbing
+    real). Output rows carry the resized blob's fingerprint/size, never
+    the pixels — no shuffle moves image bytes."""
+    from crawler_spark.pipeline.multimodal import resize_images
+
+    media = make_fake_media(spark, n=64)
+    return resize_images(media, width=32, height=32, allow_stub=True)
+
+
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling: mapInPandas fan-out emitting per-frame
     fingerprints, never shuffling pixels (decode stubbed; plumbing real)."""
@@ -1076,6 +1087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_crawl_rounds": q_stream_crawl_rounds,
         "ann_lsh_topk": q_ann_lsh_topk,
         "multimodal_features": q_multimodal_features,
+        "multimodal_resize": q_multimodal_resize,
         "multimodal_frame_sample": q_multimodal_frame_sample,
     }
 

@@ -101,6 +101,70 @@ def frame_sample(data: bytes, every_n: int = 10, allow_stub: bool = False) -> li
     return [data[i : i + chunk] for i in range(0, len(data), chunk * every_n)]
 
 
+def resize_image(data: bytes, width: int, height: int, allow_stub: bool = False) -> bytes:
+    """Resize an image to width×height. REAL CODEC NOT AVAILABLE HERE —
+    stubbed behind ``allow_stub`` (PIL/opencv absent). The stub preserves
+    the real op's contract — output is a pure function of
+    ``(bytes, width, height)`` with size proportional to the target dims
+    (fake 64:1 compression) — so the Spark plumbing and tests are real."""
+    if not allow_stub:
+        raise NotImplementedError(
+            "image resizing requires PIL/opencv (not in this container); "
+            "pass allow_stub=True for the deterministic fake"
+        )
+    target = max(1, (width * height * 3) // 64)
+    out = bytearray()
+    counter = 0
+    while len(out) < target:
+        out.extend(hashlib.md5(data + f":{width}x{height}:{counter}".encode()).digest())
+        counter += 1
+    return bytes(out[:target])
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("resized_md5", StringType()),
+        StructField("resized_bytes", LongType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, width: int = 64, height: int = 64, allow_stub: bool = True
+) -> DataFrame:
+    """image rows → one narrow row per resized image (blob dropped ASAP).
+
+    Same scale shape as :func:`extract_features`: map-only ``mapInPandas``
+    stage, emits the resized blob's fingerprint/size instead of the pixels
+    so no shuffle ever carries image bytes. A real pipeline that must KEEP
+    the resized blob writes it straight to a sink from this same stage
+    (foreachPartition / parquet binary column partitioned by size bucket)
+    rather than returning it through a shuffle. Non-image rows are
+    filtered out up front, so Spark prunes them at the scan."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = pdf["content"].map(
+                lambda b: resize_image(
+                    bytes(b) if b is not None else b"", width, height, allow_stub=allow_stub
+                )
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "resized_md5": resized.map(lambda b: hashlib.md5(b).hexdigest()),
+                    "resized_bytes": resized.map(len).astype("int64"),
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(batches, RESIZED_SCHEMA)
+
+
 def extract_features(media: DataFrame, allow_stub: bool = True) -> DataFrame:
     """binary media rows → narrow feature rows (drops the blob ASAP).
 

@@ -469,3 +469,35 @@ def test_sample_frames_matches_python_kernel(spark):
         for j, fr in enumerate(frame_sample(bytes(row["content"]), 4, allow_stub=True)):
             want[(row["media_id"], j)] = (hashlib.md5(fr).hexdigest(), len(fr))
     assert got == want and len(want) > 0
+
+
+def test_resize_images_matches_python_kernel(spark):
+    """mapInPandas resize == per-row Python kernel (stubbed codec): only
+    image rows emit, output carries fingerprint/size, never pixels, and
+    the stub honors the (bytes, w, h) -> bytes contract."""
+    import hashlib
+
+    from crawler_spark.pipeline.multimodal import (
+        make_fake_media,
+        resize_image,
+        resize_images,
+    )
+
+    media = make_fake_media(spark, n=30)
+    out = resize_images(media, width=32, height=32).collect()
+    assert set(out[0].asDict()) == {
+        "media_id", "width", "height", "resized_md5", "resized_bytes",
+    }
+    got = {r["media_id"]: (r["resized_md5"], r["resized_bytes"]) for r in out}
+    want = {}
+    for row in media.collect():
+        if row["kind"] != "image":
+            continue
+        rb = resize_image(bytes(row["content"]), 32, 32, allow_stub=True)
+        want[row["media_id"]] = (hashlib.md5(rb).hexdigest(), len(rb))
+    assert got == want and len(want) > 0
+    # fake 64:1 compression of a 32x32x3 target
+    assert all(n == (32 * 32 * 3) // 64 for _, n in got.values())
+    # real-codec gate: without allow_stub the op must refuse, not fake
+    with pytest.raises(NotImplementedError):
+        resize_image(b"x", 8, 8)
