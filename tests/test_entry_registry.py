@@ -31,6 +31,7 @@ def test_all_query_entries_callable_and_rows_only_documented():
         "ann_lsh_topk",
         "multimodal_features",
         "multimodal_frame_sample",
+        "multimodal_resize",
     }, f"unexpected rows-only queries: {sorted(rows_only)}"
 
 
