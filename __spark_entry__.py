@@ -575,6 +575,121 @@ def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a LEFT ANTI join (TPC-H Q22 flavor): customers with no
+    order since 2000, rolled up per nation. Same primitive as the frontier's
+    URL-seen filter (`seen_anti_join`) but in its classic relational form.
+    The date predicate is pushed into the orders scan BEFORE the anti-join
+    (parquet min/max row-group skipping); one shuffle on the join key — at
+    100 TB the orders side is pre-bucketed on o_custkey so it's co-partitioned."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= F.lit("2000-01-01"))
+    return (
+        cust.join(orders.select("o_custkey"), cust.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("sum_acctbal"),
+        )
+    )
+
+
+def q_returned_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a LEFT SEMI join (TPC-H Q4 shape, adapted to this schema:
+    'order has at least one returned lineitem'). Semi-join never duplicates
+    the left side, so no post-join distinct is needed — the same reason the
+    robots filter is a semi-join, not an inner join."""
+    orders = _t(spark, sf_dir, "orders")
+    returned = (
+        _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    )
+    return (
+        orders.join(returned, orders.o_orderkey == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q_small_qty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated aggregate subquery (TPC-H Q17 shape): lineitems whose
+    quantity is below half the part's average quantity. The per-part average
+    is decorrelated into a groupBy + re-join (what Catalyst does to the
+    correlated form anyway), and the threshold compare is division-free —
+    `2*qty*n < sum` instead of `qty < 0.5*sum/n` — so both engines compare
+    exact DECIMALs and no float-boundary row can flip between them."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(qty).alias("sum_qty"), F.count(F.lit(1)).alias("n_li")
+    )
+    return (
+        li.join(per_part, "l_partkey")
+        .filter(qty * F.lit(2) * F.col("n_li") < F.col("sum_qty"))
+        .join(F.broadcast(part.select("p_partkey", "p_brand")), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join + double aggregation (TPC-H Q13): order count per
+    customer INCLUDING zero-order customers (the outer join's null rows),
+    then the distribution of those counts. count(o_orderkey) skips nulls —
+    that is what makes the zero bucket appear."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q_docs_lang_source_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all four of detail/by-lang/by-source/total in one
+    pass) — complements `events_type_hour_rollup`'s ROLLUP. Partial agg
+    computes every grouping set map-side; the shuffle carries only distinct
+    group keys. NULL group keys coalesced to 'ALL' for engine-neutral hashes."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.cube("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            "n_docs",
+            "sum_chars",
+        )
+    )
+
+
+def q_doc_rank_in_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK / DENSE_RANK with real tie semantics (ordered by n_chars only —
+    ties share a rank, so the result is deterministic even though row order
+    isn't) plus a LAG delta over a fully-tiebroken ordering. Rounds out the
+    window-function family next to row_number (politeness), sum (running),
+    and last_value (as-of)."""
+    docs = _t(spark, sf_dir, "documents")
+    w_rank = Window.partitionBy("source").orderBy(F.col("n_chars").desc())
+    w_det = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    return docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.rank().over(w_rank).alias("rnk"),
+        F.dense_rank().over(w_rank).alias("drnk"),
+        (F.col("n_chars") - F.lag("n_chars").over(w_det)).alias("gap"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline
 # ---------------------------------------------------------------------------
@@ -1062,6 +1177,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "view_except_click": q_view_except_click,
         "purchase_intersect_signup": q_purchase_intersect_signup,
         "events_in_promo_windows": q_events_in_promo_windows,
+        "customers_without_orders": q_customers_without_orders,
+        "returned_orders_by_priority": q_returned_orders_by_priority,
+        "small_qty_part_revenue": q_small_qty_part_revenue,
+        "customer_order_distribution": q_customer_order_distribution,
+        "docs_lang_source_cube": q_docs_lang_source_cube,
+        "doc_rank_in_source": q_doc_rank_in_source,
         # training-data pipeline
         "rule_cut_all": q_rule_cut_all,
         "dedup_keep_first": q_dedup_keep_first,
@@ -1438,6 +1559,50 @@ SELECT event_id, user_id, last_click_id FROM (
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id
   FROM events)
 WHERE event_type = 'purchase'""",
+        "customers_without_orders": """
+SELECT c_nationkey, count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderdate >= '2000-01-01')
+GROUP BY c_nationkey""",
+        "returned_orders_by_priority": """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority""",
+        "small_qty_part_revenue": """
+WITH pq AS (
+  SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+         count(*) AS n_li
+  FROM lineitem GROUP BY l_partkey)
+SELECT p_brand,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN pq USING (l_partkey) JOIN part ON l_partkey = p_partkey
+WHERE CAST(l_quantity AS DECIMAL(18,2)) * 2 * n_li < sum_qty
+GROUP BY p_brand""",
+        "customer_order_distribution": """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey)
+GROUP BY c_count""",
+        "docs_lang_source_cube": """
+SELECT coalesce(lang, 'ALL') AS lang,
+       coalesce(source, 'ALL') AS source,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY CUBE (lang, source)""",
+        "doc_rank_in_source": """
+SELECT source, doc_id, n_chars,
+       CAST(rank() OVER (PARTITION BY source ORDER BY n_chars DESC) AS INT) AS rnk,
+       CAST(dense_rank() OVER (PARTITION BY source ORDER BY n_chars DESC) AS INT) AS drnk,
+       n_chars - lag(n_chars) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id)
+         AS gap
+FROM documents""",
         "local_supplier_volume": """
 SELECT n_name,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
