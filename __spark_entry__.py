@@ -761,7 +761,7 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = dd.spread(_t(spark, sf_dir, "documents"))
     feats = ts.quality_features(F.col("text"))
     return docs.select(
         "doc_id",
@@ -777,7 +777,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting both ways: whitespace tokens + BPE-ish subword pieces
     (GPT-2-shaped pre-tokenizer regex) — the LLM-token-cost proxy."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = dd.spread(_t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         ts.token_count_expr(F.col("text")).cast("long").alias("n_ws_tokens"),
@@ -789,7 +789,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID as a standalone op (SURVEY §2.6 text analysis): stopword
     -vote argmax per document, next to the corpus's labeled lang column so
     the output doubles as a confusion table."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = dd.spread(_t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", "lang", ts.lang_id_expr(F.col("text")).alias("lang_pred")
     )
@@ -800,7 +800,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup key), Karp–Rabin rolling hash over tokens (order-sensitive), and
     winnowing-style min over token 3-gram rolling hashes (boilerplate-
     robust). All pure column expressions — fingerprints ride the scan."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = dd.spread(_t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         ts.fingerprint_expr(F.col("text")).alias("fp_md5"),
@@ -833,7 +833,7 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = dd.spread(_t(spark, sf_dir, "documents"))
     feats = ts.quality_features(F.col("text"))
     per_doc = docs.select(
         "source",
@@ -855,8 +855,10 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed end-to-end curation pass — the 100-TB training-data shape:
     language-ID → quality gate → exact-dedup keep-first → per-source token
     accounting. Every stage is JVM-side column math over one scan; the only
-    shuffles are the dedup window on ``fp`` and the final tiny rollup."""
-    docs = _t(spark, sf_dir, "documents")
+    shuffles are the dedup window on ``fp``, the final tiny rollup, and —
+    only when the source scan is narrower than the cluster — the
+    ``spread()`` fan-out that unblocks the CPU-bound expression stage."""
+    docs = dd.spread(_t(spark, sf_dir, "documents"))
     feats = ts.quality_features(F.col("text"))
     enriched = docs.select(
         "doc_id",

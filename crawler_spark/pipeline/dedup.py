@@ -61,9 +61,28 @@ def shingles_expr(text: Column, n: int = 2) -> Column:
     )
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism — but
+    ONLY when the frame is narrower than that. The shingle stage is
+    CPU-bound (tokenize + n-gram per row), so its parallelism is capped by
+    its INPUT partitioning, and a scan of one small parquet file (or one
+    row group) yields one task: 31 of 32 cores idle. At 100 TB the corpus
+    has thousands of row groups and this is a no-op; on an
+    under-partitioned source it is the difference between 1× and N×. The
+    gate keeps well-partitioned inputs shuffle-free."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 2) -> DataFrame:
-    """(id, shingle) rows — the shared first stage of every near-dup family."""
-    return df.select(
+    """(id, shingle) rows — the shared first stage of every near-dup family.
+
+    The input is ``spread()`` first: every consumer of this frame is
+    CPU-bound on the explode, which cannot parallelize beyond the source
+    partitioning."""
+    return spread(df).select(
         F.col(id_col), F.explode(shingles_expr(F.col(text_col), n)).alias("shingle")
     )
 
@@ -137,8 +156,13 @@ def minhash_signatures(
     is done in DECIMAL(38,0) to avoid 64-bit overflow identically in Spark
     and DuckDB (a·x can exceed 2^63).
     """
-    ex = exploded_shingles(df, id_col, text_col, ngram)
-    h = md5h60(F.col("shingle")).cast("decimal(38,0)")
+    # project the md5-derived hash ONCE per shingle before the groupBy —
+    # as K separate aggregate inputs it would be re-evaluated K times per
+    # row (subexpression elimination does not span aggregate buffers)
+    ex = exploded_shingles(df, id_col, text_col, ngram).select(
+        F.col(id_col), md5h60(F.col("shingle")).cast("decimal(38,0)").alias("_h60")
+    )
+    h = F.col("_h60")
     aggs = []
     for i, (a, b) in enumerate(_perm_params(n_hashes, seed)):
         perm = (h * F.lit(a).cast("decimal(38,0)") + F.lit(b).cast("decimal(38,0)")) % F.lit(
@@ -290,6 +314,7 @@ def ngram_jaccard_pairs(
     min_jaccard: float = 0.5,
     min_common: int = 2,
     df_cap: int | None = None,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """Exact Jaccard over word-n-gram sets for every pair sharing ≥
     ``min_common`` shingles.
@@ -305,8 +330,20 @@ def ngram_jaccard_pairs(
     same capped shingle universe, so Jaccard stays internally consistent
     — it becomes "Jaccard over discriminative shingles", the form that
     survives 100 TB. Remaining skew below the cap: AQE skew-join.
+
+    ``persist_shingles`` caches the exploded-shingle frame
+    (MEMORY_AND_DISK): it is scanned three times (hot-list, per-doc
+    sizes, both self-join sides share one reused exchange), and each
+    rescan otherwise re-reads + re-tokenizes the full text corpus — 2.5×
+    wall-time at sf0.1. At 100 TB the same reuse is served by
+    materializing the shingle table once (DISK_ONLY or a checkpoint
+    table) instead of executor memory.
     """
     ex = exploded_shingles(df, id_col, text_col, ngram)
+    if persist_shingles:
+        from pyspark import StorageLevel
+
+        ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
     if df_cap is not None:
         hot = (
             ex.groupBy("shingle")
