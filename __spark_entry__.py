@@ -832,6 +832,59 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_csv(spark, path)
 
 
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source/sink roundtrip — the interchange format of crawl
+    pipelines (WARC metadata sidecars, CC index files). Written with the
+    native JSON sink, read back with an EXPLICIT schema: schema inference
+    is a full extra pass over the data and non-deterministic under type
+    drift, so the 100-TB path always declares the schema."""
+    import tempfile
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    path = tempfile.mkdtemp(prefix="entry_jsonl_") + "/out"
+    docs.write.mode("overwrite").json(path)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    return spark.read.schema(schema).json(path)
+
+
+def q_orders_month_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function family (year/month extraction — SURVEY §2.4 'Date /
+    math fns' row): order seasonality per calendar month. The group key is
+    derived, so partial aggregation still collapses map-side to at most
+    #months rows per task."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_total"),
+    )
+
+
+def q_user_event_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered array aggregation: each user's event-type journey as one
+    string. collect_list is unordered under parallelism, so order is made a
+    DATA property — collect structs keyed by (ts, event_id), array_sort
+    (struct sort = field order, fully tiebroken), then project the type.
+    The grouped-sequence shape that feeds session-based training data."""
+    events = _t(spark, sf_dir, "events")
+    seq = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+        lambda s: s["event_type"],
+    )
+    return events.groupBy("user_id").agg(
+        F.concat_ws(">", seq).alias("journey"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
 def q_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = dd.spread(_t(spark, sf_dir, "documents"))
     feats = ts.quality_features(F.col("text"))
@@ -1198,6 +1251,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "cosine_near_dups": q_cosine_near_dups,
         "csv_roundtrip": q_csv_roundtrip,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "orders_month_seasonality": q_orders_month_seasonality,
+        "user_event_sequence": q_user_event_sequence,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
@@ -1742,6 +1798,18 @@ WHERE round(list_dot_product(a.v, b.v) /
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, source, "
             "CAST(n_chars AS VARCHAR) AS n_chars FROM documents"
         ),
+        "jsonl_roundtrip": "SELECT doc_id, source, n_chars FROM documents",
+        "orders_month_seasonality": """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+       CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+FROM orders GROUP BY 1, 2""",
+        "user_event_sequence": """
+SELECT user_id,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS journey,
+       count(*) AS n_events
+FROM events GROUP BY user_id""",
         "text_quality": _sql_text_quality(),
         "lang_id": _sql_lang_id(),
         "doc_fingerprint": _sql_doc_fingerprint(),
