@@ -16,7 +16,11 @@ Operator families covered (SURVEY.md §2 + north-rule pipeline ops):
 * relational coverage — agg (TPC-H Q1-shape), 3-way join + top-k
   (Q3-shape), broadcast dim join rollup, distinct counts, running and
   sessionized windows, pivot with pinned values, exact disc quantiles,
-  EXCEPT ALL multiset difference, deterministic hash-split sampling (§2.4)
+  EXCEPT ALL multiset difference, deterministic hash-split sampling,
+  EXISTS/NOT-EXISTS as semi/anti joins (Q4/Q22), decorrelated scalar-agg
+  subquery (Q17), LEFT OUTER + double agg (Q13), CUBE grouping sets,
+  rank/dense_rank/lag windows, date-fn group keys, ordered
+  collect_list sequence agg, JSONL source/sink roundtrip (§2.4)
 * training-data pipeline — exact dedup, MinHash signatures, LSH candidate
   pairs + estimated Jaccard, SimHash, n-gram Jaccard, embedding cosine
   top-k, text quality + language-ID (pipeline/ package)

@@ -67,6 +67,14 @@ HEADLINE = [
     "purchase_intersect_signup",
     "events_in_promo_windows",
     "stratified_sample_docs",
+    "customers_without_orders",
+    "returned_orders_by_priority",
+    "small_qty_part_revenue",
+    "customer_order_distribution",
+    "docs_lang_source_cube",
+    "doc_rank_in_source",
+    "orders_month_seasonality",
+    "user_event_sequence",
 ]
 
 
