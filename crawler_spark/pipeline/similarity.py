@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from .dedup import spread
+
 
 def dot_expr(a: Column, b: Column) -> Column:
     """Σ a_i·b_i in double, fixed fold order (deterministic)."""
@@ -65,7 +67,10 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double.alias("qvec")
     ).withColumn("qnorm", norm_expr(F.col("qvec")))
-    c = corpus.select(
+    # spread(): the probe side does ALL the scoring work map-side, so its
+    # parallelism is its scan partitioning — a single-file corpus would
+    # score |corpus|x|queries| pairs on one core (no-op when already wide)
+    c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"), as_double.alias("cvec")
     ).withColumn("cnorm", norm_expr(F.col("cvec")))
     scored = (
@@ -324,7 +329,7 @@ def cosine_near_dups(
     the SQL oracle in double precision).
     """
     as_double = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    a = corpus.select(
+    a = spread(corpus).select(
         F.col(id_col).alias("id_a"), as_double.alias("avec")
     ).withColumn("anorm", norm_expr(F.col("avec")))
     b = corpus.select(

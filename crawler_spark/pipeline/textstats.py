@@ -72,15 +72,18 @@ def lang_id_expr(text: Column) -> Column:
     parallel, no shuffle. Real n-gram models drop in by replacing the
     counter expressions; the argmax scaffold is unchanged.
     """
-    scores = [(lang, stopword_count_expr(text, lang)) for lang in sorted(STOPWORDS)]
-    # argmax with first-wins tie-break: only strictly-greater replaces
-    best_lang: Column = F.lit(scores[0][0])
-    best_score = scores[0][1]
-    for lang, score in scores[1:]:
-        is_better = score > best_score
-        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(is_better, score).otherwise(best_score)
-    return F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
+    langs = sorted(STOPWORDS)
+    # all K counters in ONE array projection, then argmax as
+    # array_max + array_position (first occurrence of the max = the
+    # original first-wins tie-break). The obvious alternative — a chain of
+    # when(score > best, ...) folds — nests the previous best expression
+    # twice per step, so each counter (a full tokenize + filter) appears
+    # O(2^K) times in the expression tree; this form evaluates each once.
+    counts = F.array(*[stopword_count_expr(text, lang) for lang in langs])
+    mx = F.array_max(counts)
+    idx = F.array_position(counts, mx).cast("int")
+    lang_arr = F.array(*[F.lit(lang) for lang in langs])
+    return F.when(mx > 0, F.element_at(lang_arr, idx)).otherwise(F.lit("und"))
 
 
 def quality_features(text: Column) -> dict[str, Column]:
