@@ -149,3 +149,46 @@ def test_state_snapshot_salting_spreads_hot_host(spark, tmp_path):
     assert snap.count() == 10000
     # without the salt the hot bucket's 9000 rows land in one partition
     assert max(sizes) < 4000, sizes
+
+
+def test_anti_join_filter_pushed_and_broadcast(spark, sf001_dir):
+    """customers_without_orders: the o_orderdate predicate must reach the
+    orders parquet scan (row-group skipping at 100 TB) and the filtered side
+    must broadcast — an unfiltered shuffle anti-join reads+exchanges the
+    whole orders table to discard most of it."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.q_customers_without_orders(spark, sf001_dir))
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_cosine_topk_broadcasts_queries_not_corpus(spark, sf001_dir):
+    """cosine_topk: the small query batch is the broadcast side; the corpus
+    is scanned exactly once map-side. A corpus broadcast would OOM the
+    executors at any real scale."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.q_embedding_topk(spark, sf001_dir))
+    # exactly one broadcast exchange node in the tree (the filtered
+    # vec_id < 10 batch); the formatted output repeats nodes in a detail
+    # section, so count tree-form occurrences only
+    assert plan.count("BroadcastExchange (") == 1, plan
+    assert "PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,10)]" in plan, plan
+
+
+def test_lang_id_expression_tree_is_linear_in_languages(spark, sf001_dir):
+    """Regression pin for the when-chain argmax blowup: the optimized
+    lang-ID expression must stay linear in the number of languages (each
+    stopword counter appears once), not O(2^K) from nested when-folds."""
+    from crawler_spark.pipeline.textstats import STOPWORDS, lang_id_expr
+
+    docs = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    tree = (
+        docs.select(lang_id_expr(F.col("text")).alias("lang"))
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # one tokenize per language; the broken form had 2^(K-1)+ copies
+    assert tree.count("split(lower(text)") <= len(STOPWORDS) + 1, len(tree)
