@@ -110,6 +110,14 @@ class CrawlConfig:
     # efficiency at 10^6+-scheduled rounds (see BENCH.md).
     fetch_join: str = "broadcast"
     corpus_buckets: int = 128
+    # compact the append-only seen delta log whenever it reaches this many
+    # segments: rewrite the union into ONE bucketed snapshot and reset the
+    # log. Keeps the per-round read at O(segments) directories instead of
+    # O(rounds) — after R rounds an uncompacted log is R small-file dirs,
+    # the classic many-snapshots death at 10^10 URLs. Amortized write cost
+    # stays O(total/K per compaction); Iceberg maps this to
+    # rewrite_data_files. Set very large to disable.
+    seen_compact_every: int = 8
 
 
 @dataclass
@@ -468,7 +476,14 @@ def crawl(
         # whole log (see init comment — O(new) write, not O(total))
         _snapshot(spark, new_seen, _ckpt(cfg, rnd, "seen"), nparts)
         seen_paths = seen_paths + [_ckpt(cfg, rnd, "seen")]
-        seen = spark.read.parquet(*seen_paths)
+        if len(seen_paths) >= cfg.seen_compact_every:
+            # delta-log compaction: one bucketed snapshot replaces the log
+            seen = _snapshot(
+                spark, spark.read.parquet(*seen_paths), _ckpt(cfg, rnd, "seen_compacted"), nparts
+            )
+            seen_paths = [_ckpt(cfg, rnd, "seen_compacted")]
+        else:
+            seen = spark.read.parquet(*seen_paths)
         if bloom_next is not None:
             bloom = _snapshot(spark, bloom_next, _ckpt(cfg, rnd, "bloom"), 1)
         n_admitted = new_entries.count()
