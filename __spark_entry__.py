@@ -720,6 +720,24 @@ def q_lsh_est_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_similarity(sig, pairs, n_hashes=MINHASH_K)
 
 
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full MinHash dedup ending: LSH pairs → threshold → transitive
+    closure (connected components) → one keeper per duplicate cluster.
+
+    2-gram signatures (1-grams are near-complete graphs on topical
+    corpora); est_jaccard ≥ 0.6. Every doc gets (component, is_keeper);
+    ``filter(is_keeper)`` IS the deduplicated corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    sig = dd.minhash_signatures(
+        docs, "doc_id", "text", n_hashes=MINHASH_K, ngram=2, seed=MINHASH_SEED
+    )
+    pairs = dd.lsh_candidate_pairs(sig, "doc_id", n_hashes=MINHASH_K, bands=LSH_BANDS)
+    dup = dd.minhash_similarity(sig, pairs, n_hashes=MINHASH_K).filter(
+        F.col("est_jaccard") >= 0.6
+    )
+    return dd.near_dup_components(docs, "doc_id", dup)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return dd.simhash(docs, "doc_id", "text", bits=SIMHASH_BITS, ngram=1)
@@ -1249,6 +1267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash_signatures,
         "lsh_est_jaccard": q_lsh_est_jaccard,
+        "near_dup_clusters": q_near_dup_clusters,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
@@ -1347,6 +1366,43 @@ def _sql_lsh_est_jaccard() -> str:
         "JOIN banded r ON l.band = r.band AND l.bkey = r.bkey AND l.doc < r.doc) "
         f"SELECT p.id_a, p.id_b, ({eq})::DOUBLE / {float(MINHASH_K)} AS est_jaccard "
         "FROM pairs p JOIN sig a ON p.id_a = a.doc_id JOIN sig b ON p.id_b = b.doc_id"
+    )
+
+
+def _sql_near_dup_clusters(threshold: float = 0.6) -> str:
+    """Transitive closure of thresholded LSH pairs via recursive CTE;
+    component = min reachable doc_id — the exact SQL twin of
+    ``dedup.connected_components`` + ``near_dup_components``."""
+    rows_per_band = MINHASH_K // LSH_BANDS
+    sig = _sql_minhash_sig(2)
+    band_selects = []
+    for bidx in range(LSH_BANDS):
+        cols = [f"mh{bidx * rows_per_band + r}" for r in range(rows_per_band)]
+        key = "md5(concat_ws('_', '" + str(bidx) + "', " + ", ".join(
+            f"{c}::VARCHAR" for c in cols
+        ) + "))"
+        band_selects.append(
+            f"SELECT doc_id AS doc, {bidx} AS band, {key} AS bkey FROM sig"
+        )
+    banded = " UNION ALL ".join(band_selects)
+    eq = " + ".join(
+        f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(MINHASH_K)
+    )
+    return (
+        f"WITH RECURSIVE sig AS ({sig}), banded AS ({banded}), "
+        "pairs AS (SELECT DISTINCT l.doc AS id_a, r.doc AS id_b FROM banded l "
+        "JOIN banded r ON l.band = r.band AND l.bkey = r.bkey AND l.doc < r.doc), "
+        f"dup AS (SELECT p.id_a, p.id_b FROM pairs p "
+        "JOIN sig a ON p.id_a = a.doc_id JOIN sig b ON p.id_b = b.doc_id "
+        f"WHERE ({eq})::DOUBLE / {float(MINHASH_K)} >= {threshold}), "
+        "edges AS (SELECT id_a AS u, id_b AS v FROM dup "
+        "UNION SELECT id_b, id_a FROM dup), "
+        "reach AS (SELECT u, v FROM edges "
+        "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), "
+        "comp AS (SELECT u AS node, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u) "
+        "SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS component, "
+        "COALESCE(c.comp, d.doc_id) = d.doc_id AS is_keeper "
+        "FROM documents d LEFT JOIN comp c ON d.doc_id = c.node"
     )
 
 
@@ -1735,6 +1791,7 @@ FROM g GROUP BY user_id""",
         ),
         "minhash_signatures": _sql_minhash_sig(2),
         "lsh_est_jaccard": _sql_lsh_est_jaccard(),
+        "near_dup_clusters": _sql_near_dup_clusters(),
         "simhash": _sql_simhash(SIMHASH_BITS),
         "ngram_jaccard": f"""
 WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

@@ -52,6 +52,7 @@ HEADLINE = [
     "events_hourly_rollup",
     "local_supplier_volume",
     "exact_dedup",
+    "near_dup_clusters",
     "minhash_signatures",
     "simhash",
     "ngram_jaccard",

@@ -377,3 +377,99 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "n_common", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering: connected components + keep-one-per-cluster
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b", max_iters: int = 30
+) -> DataFrame:
+    """``(node, comp)`` for every node in ``pairs``; ``comp`` = min node id
+    reachable in the undirected pair graph (the canonical cluster label).
+
+    This is the ending the MinHash/SimHash families need: LSH emits PAIRS,
+    but "keep one document per duplicate cluster" needs the transitive
+    closure (a~b, b~c ⇒ one cluster {a,b,c}).
+
+    Algorithm: min-label propagation with pointer-jumping —
+    ``comp(v) ← min(comp(v), min_{u~v} comp(u), comp(comp(v)))``.
+    Neighbor propagation alone converges in O(diameter) rounds; the
+    pointer-jump join (each node adopts its current label's label) cuts
+    long chains in O(log d) like hash-to-min [Rastogi et al. 2013,
+    "Finding Connected Components in Map-Reduce"]. Near-dup clusters are
+    shallow in practice, so most corpora converge in 2-3 rounds.
+
+    Scale notes (the 10^10-node story):
+    * each round = two hash-partitioned equi-joins + one groupBy, all on
+      node ids — uniformly distributed keys, no skew by construction
+      (a mega-cluster's rows still hash-spread across partitions; only
+      its LABEL is shared).
+    * ``localCheckpoint`` after every round truncates lineage — iterative
+      DataFrame plans otherwise grow superlinearly under re-analysis
+      (on a cluster with an HDFS checkpoint dir, ``checkpoint()`` gives
+      the same cut plus fault tolerance).
+    * convergence probe is an aggregate over the just-materialized round
+      (cheap), not a full recompute.
+    Reference parity: the reference has no dedup at all (SURVEY §2.4
+    Distinct row) — this is new per the training-data-pipeline mandate.
+    """
+    sym = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")).unionByName(
+        pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
+    )
+    edges = sym.distinct().persist()
+    labels = (
+        edges.select(F.col("u").alias("node")).distinct().withColumn("comp", F.col("node"))
+    ).localCheckpoint()
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy(edges.u.alias("node"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        jump = labels.select(F.col("comp").alias("_c"), F.col("node").alias("_n")).join(
+            labels.select(F.col("node").alias("_c"), F.col("comp").alias("jump_comp")),
+            "_c",
+        ).select(F.col("_n").alias("node"), "jump_comp")
+        new = (
+            labels.join(nbr, "node", "left")
+            .join(jump, "node", "left")
+            .select(
+                "node",
+                F.least("comp", "nbr_comp", "jump_comp").alias("comp"),
+                (F.least("comp", "nbr_comp", "jump_comp") < F.col("comp")).alias("_chg"),
+            )
+            .localCheckpoint()
+        )
+        changed = new.filter(F.col("_chg")).count()
+        labels = new.drop("_chg")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def near_dup_components(
+    df: DataFrame,
+    id_col: str,
+    dup_pairs: DataFrame,
+) -> DataFrame:
+    """Cluster assignment for EVERY document: ``(id, component, is_keeper)``.
+
+    Docs in no pair are singleton components of themselves. ``is_keeper``
+    marks the min-id doc per cluster — filtering on it yields the
+    deduplicated corpus. Left join against the (small) component map; at
+    scale the map is ≪ corpus (only docs with a near-dup), so Spark/AQE
+    broadcasts it.
+    """
+    comp = connected_components(dup_pairs)
+    return (
+        df.select(F.col(id_col))
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("comp", F.col(id_col)).alias("component"),
+            (F.coalesce("comp", F.col(id_col)) == F.col(id_col)).alias("is_keeper"),
+        )
+    )
