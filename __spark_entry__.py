@@ -720,6 +720,14 @@ def q_lsh_est_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_similarity(sig, pairs, n_hashes=MINHASH_K)
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb-style sub-document dedup: 10-token spans deduped
+    corpus-wide (keep first in global (doc_id, span_idx) order), docs
+    reassembled from surviving spans."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.span_dedup(docs, "doc_id", "text", span_tokens=10)
+
+
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full MinHash dedup ending: LSH pairs → threshold → transitive
     closure (connected components) → one keeper per duplicate cluster.
@@ -1268,6 +1276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "lsh_est_jaccard": q_lsh_est_jaccard,
         "near_dup_clusters": q_near_dup_clusters,
+        "span_dedup": q_span_dedup,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
@@ -1367,6 +1376,32 @@ def _sql_lsh_est_jaccard() -> str:
         f"SELECT p.id_a, p.id_b, ({eq})::DOUBLE / {float(MINHASH_K)} AS est_jaccard "
         "FROM pairs p JOIN sig a ON p.id_a = a.doc_id JOIN sig b ON p.id_b = b.doc_id"
     )
+
+
+def _sql_span_dedup(w: int = 10) -> str:
+    """SQL twin of ``dedup.span_dedup``: same tokenizer, same fixed-window
+    spans (1-based inclusive list slices clip like Spark's ``slice``),
+    same global keep-first order, same ordered reassembly."""
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+n AS (SELECT doc_id, toks, CAST(ceil(len(toks) / {float(w)}) AS INT) AS ns FROM t),
+spans AS (
+  SELECT doc_id, CAST(i AS INT) AS span_idx,
+         array_to_string(toks[i*{w}+1 : i*{w}+{w}], ' ') AS span
+  FROM n, UNNEST(range(ns)) AS u(i)),
+ranked AS (
+  SELECT doc_id, span_idx, span,
+         row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) AS rn
+  FROM spans),
+agg AS (
+  SELECT doc_id, count(*) AS n_spans,
+         count(*) FILTER (rn = 1) AS n_kept,
+         coalesce(string_agg(span, ' ' ORDER BY span_idx) FILTER (rn = 1), '') AS clean_text
+  FROM ranked GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.n_spans, 0) AS n_spans, coalesce(a.n_kept, 0) AS n_kept,
+       coalesce(a.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
 
 
 def _sql_near_dup_clusters(threshold: float = 0.6) -> str:
@@ -1792,6 +1827,7 @@ FROM g GROUP BY user_id""",
         "minhash_signatures": _sql_minhash_sig(2),
         "lsh_est_jaccard": _sql_lsh_est_jaccard(),
         "near_dup_clusters": _sql_near_dup_clusters(),
+        "span_dedup": _sql_span_dedup(),
         "simhash": _sql_simhash(SIMHASH_BITS),
         "ngram_jaccard": f"""
 WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

@@ -53,6 +53,7 @@ HEADLINE = [
     "local_supplier_volume",
     "exact_dedup",
     "near_dup_clusters",
+    "span_dedup",
     "minhash_signatures",
     "simhash",
     "ngram_jaccard",

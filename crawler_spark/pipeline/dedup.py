@@ -473,3 +473,71 @@ def near_dup_components(
             (F.coalesce("comp", F.col(id_col)) == F.col(id_col)).alias("is_keeper"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# span-level exact dedup + document reassembly (CCNet/RefinedWeb line dedup)
+# ---------------------------------------------------------------------------
+
+def span_dedup(
+    df: DataFrame, id_col: str, text_col: str, span_tokens: int = 10
+) -> DataFrame:
+    """Corpus-wide exact dedup at sub-document granularity: split each doc
+    into fixed ``span_tokens``-token windows, keep only the FIRST occurrence
+    of each distinct span (global (doc_id, span_idx) order), and reassemble
+    each document from its surviving spans in original order.
+
+    This is the line/paragraph dedup of CCNet/RefinedWeb-style pipelines —
+    the splitter here is a fixed token window because the corpus contract
+    carries no newlines; swap ``spans`` for a split on '\\n' for real pages.
+
+    Output: ``(id, n_spans, n_kept, clean_text)`` for EVERY input doc
+    (fully-deduped docs keep an empty ``clean_text``).
+
+    Scale shape: two shuffles — a window keyed on the span string (uniform
+    by construction: distinct spans; hot spans are exactly what gets cut to
+    one row) and the per-doc reassembly groupBy. Span strings travel the
+    first shuffle once; at 100 TB hash the span (md5) for the window key
+    and keep the text only on the surviving row.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
+    nspan = F.ceil(F.size(toks) / F.lit(float(span_tokens))).cast("int")
+    idx = F.when(nspan >= 1, F.sequence(F.lit(0), nspan - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    spans = spread(df).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", F.slice(toks, i * span_tokens + 1, span_tokens)
+                ),
+            )
+        ).alias("span_idx", "span"),
+    )
+    w = Window.partitionBy("span").orderBy(F.col(id_col), F.col("span_idx"))
+    ranked = spans.withColumn("_rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("_rn") == 1, F.struct(F.col("span_idx"), F.col("span"))
+    )
+    agg = ranked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum((F.col("_rn") == 1).cast("long")).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["span"]
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

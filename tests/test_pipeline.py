@@ -535,3 +535,20 @@ def test_near_dup_components_keepers(spark):
         for r in dd.near_dup_components(docs, "doc_id", pairs).collect()
     }
     assert out == {1: (1, True), 2: (2, True), 3: (2, False), 7: (7, True)}
+
+
+def test_span_dedup_keep_first_and_reassemble(spark):
+    # spans of 2 tokens; "a b" appears in doc1(span0), doc1(span2), doc2(span0):
+    # only doc1 span0 survives; doc2's "c d" (span1) is first-seen there
+    docs = spark.createDataFrame(
+        [(1, "a b x y a b"), (2, "a b c d"), (3, "c d"), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_spans"], r["n_kept"], r["clean_text"])
+        for r in dd.span_dedup(docs, "doc_id", "text", span_tokens=2).collect()
+    }
+    assert out[1] == (3, 2, "a b x y")        # duplicate 3rd span dropped
+    assert out[2] == (2, 1, "c d")            # "a b" already seen in doc 1
+    assert out[3] == (1, 0, "")               # "c d" already seen in doc 2
+    assert out[4] == (0, 0, "")               # empty doc survives with 0 spans
