@@ -639,6 +639,96 @@ def q_small_qty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated MIN subquery (TPC-H Q2 shape, adapted: lineitem stands in
+    for partsupp): for every part, the supplier(s) offering its minimum
+    extended price. Decorrelated: per-part min (one shuffle, partial agg) →
+    re-join on (partkey, price = min). Ties keep ALL suppliers — the SQL
+    semantics of `price = (SELECT MIN ...)`. DECIMAL compare: no float
+    boundary can disagree between engines. Part/supplier dims broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    offers = li.select("l_partkey", "l_suppkey", price.alias("price")).distinct()
+    mins = offers.groupBy("l_partkey").agg(F.min("price").alias("min_price"))
+    return (
+        offers.join(mins, "l_partkey")
+        .filter(F.col("price") == F.col("min_price"))
+        .join(F.broadcast(part.select("p_partkey", "p_brand")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_name")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey", "p_brand", "s_name",
+            F.col("min_price").cast("double").alias("min_price"),
+        )
+    )
+
+
+def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery over a HAVING aggregate (TPC-H Q18 shape): orders whose
+    total lineitem quantity exceeds 100, with customer attribution. The IN
+    becomes a join against the aggregated-and-filtered orderkey set — the
+    aggregate IS the semi-filter, no second scan of lineitem. DECIMAL sum
+    so the >100 boundary is exact in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("total_qty"))
+        .filter(F.col("total_qty") > 100)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust.select("c_custkey", "c_name")), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "o_orderkey", "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+def q_sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS + NOT EXISTS with self-joins (TPC-H Q21 shape, adapted to
+    l_returnflag): per supplier, the number of multi-supplier orders where
+    THIS supplier is the only one with a returned line. EXISTS(other
+    supplier on order) → left_semi vs the distinct order-supplier set;
+    NOT EXISTS(other supplier with a returned line) → left_anti vs the
+    returned set — both on (orderkey, ≠suppkey), expressed as equi-join on
+    orderkey + inequality residual, so they plan as shuffled hash joins
+    (never BroadcastNestedLoop)."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    returned = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    ).distinct()
+    all_pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    r = returned.alias("r")
+    others = all_pairs.alias("a")
+    r2 = returned.alias("r2")
+    sole = (
+        r.join(
+            others,
+            (F.col("r.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("r.l_suppkey") != F.col("a.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            r2,
+            (F.col("r.l_orderkey") == F.col("r2.l_orderkey"))
+            & (F.col("r.l_suppkey") != F.col("r2.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        sole.join(F.broadcast(supp.select("s_suppkey", "s_name")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
 def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT OUTER join + double aggregation (TPC-H Q13): order count per
     customer INCLUDING zero-order customers (the outer join's null rows),
@@ -1265,6 +1355,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": q_customers_without_orders,
         "returned_orders_by_priority": q_returned_orders_by_priority,
         "small_qty_part_revenue": q_small_qty_part_revenue,
+        "min_cost_supplier": q_min_cost_supplier,
+        "large_volume_orders": q_large_volume_orders,
+        "sole_returned_supplier": q_sole_returned_supplier,
         "customer_order_distribution": q_customer_order_distribution,
         "docs_lang_source_cube": q_docs_lang_source_cube,
         "doc_rank_in_source": q_doc_rank_in_source,
@@ -1736,6 +1829,38 @@ SELECT p_brand,
 FROM lineitem JOIN pq USING (l_partkey) JOIN part ON l_partkey = p_partkey
 WHERE CAST(l_quantity AS DECIMAL(18,2)) * 2 * n_li < sum_qty
 GROUP BY p_brand""",
+        "min_cost_supplier": """
+WITH offers AS (
+  SELECT DISTINCT l_partkey, l_suppkey,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+  FROM lineitem),
+mins AS (SELECT l_partkey, min(price) AS min_price FROM offers GROUP BY l_partkey)
+SELECT p_partkey, p_brand, s_name, CAST(min_price AS DOUBLE) AS min_price
+FROM offers JOIN mins USING (l_partkey)
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE price = min_price""",
+        "large_volume_orders": """
+WITH big AS (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 100)
+SELECT c_name, o_orderkey, o_orderdate,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(total_qty AS DOUBLE) AS total_qty
+FROM orders JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey""",
+        "sole_returned_supplier": """
+WITH returned AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'),
+all_pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+SELECT s_name, count(*) AS numwait
+FROM returned r JOIN supplier ON r.l_suppkey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM all_pairs a
+              WHERE a.l_orderkey = r.l_orderkey AND a.l_suppkey <> r.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM returned r2
+                  WHERE r2.l_orderkey = r.l_orderkey AND r2.l_suppkey <> r.l_suppkey)
+GROUP BY s_name""",
         "customer_order_distribution": """
 SELECT c_count, count(*) AS custdist FROM (
   SELECT c_custkey, count(o_orderkey) AS c_count

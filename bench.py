@@ -72,6 +72,9 @@ HEADLINE = [
     "customers_without_orders",
     "returned_orders_by_priority",
     "small_qty_part_revenue",
+    "min_cost_supplier",
+    "large_volume_orders",
+    "sole_returned_supplier",
     "customer_order_distribution",
     "docs_lang_source_cube",
     "doc_rank_in_source",
