@@ -810,6 +810,13 @@ def q_lsh_est_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_similarity(sig, pairs, n_hashes=MINHASH_K)
 
 
+def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: most-frequent-bigram fraction +
+    duplicated-trigram fraction per document."""
+    docs = _t(spark, sf_dir, "documents")
+    return ts.repetition_stats(docs, "doc_id", "text")
+
+
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet/RefinedWeb-style sub-document dedup: 10-token spans deduped
     corpus-wide (keep first in global (doc_id, span_idx) order), docs
@@ -1370,6 +1377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_est_jaccard": q_lsh_est_jaccard,
         "near_dup_clusters": q_near_dup_clusters,
         "span_dedup": q_span_dedup,
+        "repetition_quality": q_repetition_quality,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
@@ -1469,6 +1477,29 @@ def _sql_lsh_est_jaccard() -> str:
         f"SELECT p.id_a, p.id_b, ({eq})::DOUBLE / {float(MINHASH_K)} AS est_jaccard "
         "FROM pairs p JOIN sig a ON p.id_a = a.doc_id JOIN sig b ON p.id_b = b.doc_id"
     )
+
+
+def _sql_repetition_quality() -> str:
+    """SQL twin of ``textstats.repetition_stats`` — identical tokenizer,
+    non-distinct n-grams, identical integer counts (division of the same
+    exact BIGINTs is IEEE-identical in both engines)."""
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g2 AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
+       FROM t, UNNEST(range(1, len(toks))) AS u(i) WHERE len(toks) >= 2),
+c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+b AS (SELECT doc_id, max(c) / sum(c) AS top_bigram_frac FROM c2 GROUP BY doc_id),
+g3 AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+       FROM t, UNNEST(range(1, len(toks) - 1)) AS u(i) WHERE len(toks) >= 3),
+c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g),
+tr AS (SELECT doc_id,
+              coalesce(sum(c) FILTER (c > 1), 0) / sum(c) AS dup_trigram_frac
+       FROM c3 GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(b.top_bigram_frac, 0.0) AS top_bigram_frac,
+       coalesce(tr.dup_trigram_frac, 0.0) AS dup_trigram_frac
+FROM documents d LEFT JOIN b USING (doc_id) LEFT JOIN tr USING (doc_id)
+"""
 
 
 def _sql_span_dedup(w: int = 10) -> str:
@@ -1953,6 +1984,7 @@ FROM g GROUP BY user_id""",
         "lsh_est_jaccard": _sql_lsh_est_jaccard(),
         "near_dup_clusters": _sql_near_dup_clusters(),
         "span_dedup": _sql_span_dedup(),
+        "repetition_quality": _sql_repetition_quality(),
         "simhash": _sql_simhash(SIMHASH_BITS),
         "ngram_jaccard": f"""
 WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

@@ -59,6 +59,7 @@ HEADLINE = [
     "ngram_jaccard",
     "embedding_topk",
     "text_quality",
+    "repetition_quality",
     "quality_by_source",
     "json_props_rollup",
     "latest_event_per_user",

@@ -193,3 +193,60 @@ def fingerprint_expr(text: Column) -> Column:
     """
     normalized = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
     return F.md5(normalized)
+
+
+def ngrams_all_expr(text: Column, n: int) -> Column:
+    """ALL word n-grams (non-distinct, document order) — repetition signals
+    need multiplicities, unlike the set-semantics ``dedup.shingles_expr``."""
+    toks = tokens_expr(text)
+    if n == 1:
+        return toks
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    gram = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.when(F.size(toks) >= n, gram).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(df, id_col: str, text_col: str):
+    """Gopher-style repetition quality signals per document:
+
+    * ``top_bigram_frac``  — occurrences of the single most frequent bigram
+      as a fraction of all bigram instances (boilerplate detector);
+    * ``dup_trigram_frac`` — fraction of trigram instances whose trigram
+      occurs more than once in the doc (templated-page detector).
+
+    Shape: explode n-grams (NON-distinct) → groupBy(doc, gram) count →
+    groupBy(doc) max/sum — two shuffles per gram size, both keyed by doc_id
+    (+gram), uniform. The per-doc frequency table never sits in one task's
+    memory as a whole-doc blob, so a pathological 1 GB document costs its
+    partitions, not an executor. Short docs (no n-grams) emit 0.0.
+
+    From "Scaling Language Models: Methods, Analysis & Insights from
+    Training Gopher" (Rae et al. 2021), Table A1 repetition filters —
+    public methodology; thresholds are the caller's policy.
+    """
+    from crawler_spark.pipeline.dedup import spread
+
+    def per_doc(n: int, top_name: str, dup_name: str):
+        ex = spread(df).select(
+            F.col(id_col), F.explode(ngrams_all_expr(F.col(text_col), n)).alias("g")
+        )
+        counts = ex.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+        return counts.groupBy(id_col).agg(
+            (F.max("c") / F.sum("c")).alias(top_name),
+            (
+                F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0))
+                / F.sum("c")
+            ).alias(dup_name),
+        )
+    b = per_doc(2, "top_bigram_frac", "_dup2")
+    t = per_doc(3, "_top3", "dup_trigram_frac")
+    return (
+        df.select(F.col(id_col))
+        .join(b.select(id_col, "top_bigram_frac"), id_col, "left")
+        .join(t.select(id_col, "dup_trigram_frac"), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+            F.coalesce("dup_trigram_frac", F.lit(0.0)).alias("dup_trigram_frac"),
+        )
+    )

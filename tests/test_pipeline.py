@@ -552,3 +552,22 @@ def test_span_dedup_keep_first_and_reassemble(spark):
     assert out[2] == (2, 1, "c d")            # "a b" already seen in doc 1
     assert out[3] == (1, 0, "")               # "c d" already seen in doc 2
     assert out[4] == (0, 0, "")               # empty doc survives with 0 spans
+
+
+def test_repetition_stats_hand_case(spark):
+    # "a b a b a b": bigrams = [ab, ba, ab, ba, ab] -> top "a b" 3/5;
+    # all 5 bigram instances have count>1 -> dup would be 5/5 for bigrams,
+    # trigrams = [aba, bab, aba, bab] all duplicated -> dup_trigram 1.0.
+    # "x y z": 2 distinct bigrams -> top 1/2; trigram "x y z" once -> dup 0.
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "x y z"), (3, "w"), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["top_bigram_frac"], r["dup_trigram_frac"])
+        for r in ts.repetition_stats(docs, "doc_id", "text").collect()
+    }
+    assert out[1] == (3 / 5, 1.0)
+    assert out[2] == (1 / 2, 0.0)
+    assert out[3] == (0.0, 0.0)   # too short for any n-gram
+    assert out[4] == (0.0, 0.0)
