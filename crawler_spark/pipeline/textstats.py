@@ -226,24 +226,31 @@ def repetition_stats(df, id_col: str, text_col: str):
     """
     from crawler_spark.pipeline.dedup import spread
 
-    def per_doc(n: int, top_name: str, dup_name: str):
-        ex = spread(df).select(
-            F.col(id_col), F.explode(ngrams_all_expr(F.col(text_col), n)).alias("g")
-        )
-        counts = ex.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
-        return counts.groupBy(id_col).agg(
-            (F.max("c") / F.sum("c")).alias(top_name),
-            (
-                F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0))
-                / F.sum("c")
-            ).alias(dup_name),
-        )
-    b = per_doc(2, "top_bigram_frac", "_dup2")
-    t = per_doc(3, "_top3", "dup_trigram_frac")
+    # ONE scan: tag each gram with its size and explode both families
+    # together; then (doc, n, gram) counts → per-doc conditional aggregates.
+    # Two shuffles total (vs four for one-pipeline-per-gram-size), and the
+    # text column is tokenized exactly once.
+    tag = lambda n: F.transform(  # noqa: E731
+        ngrams_all_expr(F.col(text_col), n),
+        lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")),
+    )
+    ex = spread(df).select(
+        F.col(id_col), F.explode(F.concat(tag(2), tag(3))).alias("t")
+    ).select(F.col(id_col), F.col("t.n").alias("n"), F.col("t.g").alias("g"))
+    counts = ex.groupBy(id_col, "n", "g").agg(F.count(F.lit(1)).alias("c"))
+    is2, is3 = F.col("n") == 2, F.col("n") == 3
+    per = counts.groupBy(id_col).agg(
+        (F.max(F.when(is2, F.col("c"))) / F.sum(F.when(is2, F.col("c")))).alias(
+            "top_bigram_frac"
+        ),
+        (
+            F.coalesce(F.sum(F.when(is3 & (F.col("c") > 1), F.col("c"))), F.lit(0))
+            / F.sum(F.when(is3, F.col("c")))
+        ).alias("dup_trigram_frac"),
+    )
     return (
         df.select(F.col(id_col))
-        .join(b.select(id_col, "top_bigram_frac"), id_col, "left")
-        .join(t.select(id_col, "dup_trigram_frac"), id_col, "left")
+        .join(per, id_col, "left")
         .select(
             F.col(id_col),
             F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
