@@ -945,6 +945,15 @@ def q_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_near_dups(emb, threshold=0.3)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: IVF-cluster embeddings → within-cluster cosine ≥ 0.35
+    pairs → connected components → one keeper per semantic cluster."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.semantic_dedup(
+        emb, "vec_id", "embedding", n_centroids=16, threshold=0.35
+    )
+
+
 def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 CSVDataStorage (storage.go:23-44): header CSV sink with the
     all-strings row model (FieldValues []string, collector.go:13), then
@@ -1383,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "cosine_near_dups": q_cosine_near_dups,
+        "semantic_dedup": q_semantic_dedup,
         "csv_roundtrip": q_csv_roundtrip,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "orders_month_seasonality": q_orders_month_seasonality,
@@ -2038,6 +2048,29 @@ r AS (SELECT *, row_number() OVER (
         PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
       FROM pairs)
 SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5""",
+        "semantic_dedup": """
+WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv,
+             sqrt(list_dot_product(v, v)) AS cnorm
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+scored AS (SELECT e.vec_id, e.v, c.cid,
+             round(list_dot_product(e.v, c.cv) / c.cnorm, 6) AS score
+           FROM e CROSS JOIN c),
+assign AS (SELECT vec_id, v, cid,
+                  sqrt(list_dot_product(v, v)) AS nrm
+           FROM (SELECT *, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY score DESC, cid) AS rk
+                 FROM scored) WHERE rk = 1),
+dup AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.35),
+edges AS (SELECT id_a AS u, id_b AS v FROM dup UNION SELECT id_b, id_a FROM dup),
+reach AS (SELECT u, v FROM edges
+          UNION SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u),
+comp AS (SELECT u AS node, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u)
+SELECT d.vec_id, COALESCE(cm.comp, d.vec_id) AS component,
+       COALESCE(cm.comp, d.vec_id) = d.vec_id AS is_keeper
+FROM embeddings d LEFT JOIN comp cm ON d.vec_id = cm.node""",
         "cosine_near_dups": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -58,6 +58,7 @@ HEADLINE = [
     "simhash",
     "ngram_jaccard",
     "embedding_topk",
+    "semantic_dedup",
     "text_quality",
     "repetition_quality",
     "quality_by_source",

@@ -349,3 +349,61 @@ def cosine_near_dups(
         )
         .filter(F.col("cosine") >= F.lit(float(threshold)))
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    threshold: float = 0.35,
+    n_iters: int = 0,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public methodology):
+    embedding-level semantic dedup. Cluster the corpus (deterministic IVF
+    centroids, optional Lloyd refinement), compute pairwise cosine ONLY
+    within each cluster, link pairs ≥ threshold, and keep one document per
+    connected component.
+
+    Output: ``(id, component, is_keeper)`` for every vector.
+
+    Scale shape: the pair join is an equi-join on the cluster id — cost is
+    Σ cluster², never corpus². At 10^8+ vectors pick n_centroids so the
+    mean cluster is 10³-10⁴ rows (SemDeDup's own regime); a runaway cluster
+    is AQE-skew-split, and the cluster id is a derived column so the same
+    frame serves both join sides from one shuffle. Components via
+    :func:`crawler_spark.pipeline.dedup.connected_components` (min-label +
+    pointer jumping, O(log d) rounds).
+    """
+    from .dedup import near_dup_components
+
+    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids, n_iters)
+    as_double = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    assigned = spread(corpus).select(
+        F.col(id_col),
+        as_double.alias("v"),
+        ivf_probe_expr(as_double, cents, nprobe=1)[0].alias("cid"),
+    ).withColumn("nrm", norm_expr(F.col("v")))
+    # both self-join sides read this frame: persist so the centroid probe
+    # (n_centroids × dim fold per row) runs once, not twice
+    assigned = assigned.persist()
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("av"), F.col("nrm").alias("an"), "cid"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("bv"), F.col("nrm").alias("bn"), "cid"
+    )
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot_expr(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+        .select("id_a", "id_b")
+    )
+    return near_dup_components(corpus, id_col, pairs)
