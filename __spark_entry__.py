@@ -1005,6 +1005,44 @@ def q_orders_month_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sliding_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (time-based sliding aggregate — the frame the
+    rows-frame `running_sum` can't express): per event, count and value-sum
+    of the SAME user's events in the trailing hour. The frame is anchored
+    on unix_micros so both engines cut at identical microsecond bounds;
+    DECIMAL sum so the value addition is exact. One shuffle on user_id."""
+    events = _t(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ: derive epoch-micros without any timezone cast
+    # (timestampdiff is NTZ-pure; identical to DuckDB's epoch_us)
+    micros = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    w = Window.partitionBy("user_id").orderBy(micros).rangeBetween(-3_600_000_000, 0)
+    return events.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("sum_1h"),
+    )
+
+
+def q_event_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-statistic window family: percent_rank + cume_dist (tie-aware,
+    ordered by value alone — output depends only on the value, so it is
+    deterministic) and ntile(4) (NOT tie-stable, so its ordering is fully
+    tiebroken by event_id — made a data property, per SURVEY §7d)."""
+    events = _t(spark, sf_dir, "events")
+    w_val = Window.partitionBy("event_type").orderBy("value")
+    w_tb = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return events.select(
+        "event_id",
+        "event_type",
+        F.percent_rank().over(w_val).alias("pr"),
+        F.cume_dist().over(w_val).alias("cd"),
+        F.ntile(4).over(w_tb).alias("quartile"),
+    )
+
+
 def q_user_event_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered array aggregation: each user's event-type journey as one
     string. collect_list is unordered under parallelism, so order is made a
@@ -1356,6 +1394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_rollup": q_region_rollup,
         "distinct_users": q_distinct_users,
         "running_sum": q_running_sum,
+        "sliding_hour_value": q_sliding_hour_value,
+        "event_value_distribution": q_event_value_distribution,
         "sessionize": q_sessionize,
         "events_hourly_rollup": q_events_hourly_rollup,
         "events_type_hour_rollup": q_events_type_hour_rollup,
@@ -1969,6 +2009,19 @@ SELECT user_id, event_id,
   (sum(CAST(value AS DECIMAL(18,4))) OVER (
      PARTITION BY user_id ORDER BY ts, event_id
      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE AS running_value
+FROM events""",
+        "sliding_hour_value": """
+SELECT event_id, user_id,
+  count(*) OVER w AS n_1h,
+  (sum(CAST(value AS DECIMAL(18,2))) OVER w)::DOUBLE AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+        "event_value_distribution": """
+SELECT event_id, event_type,
+  percent_rank() OVER (PARTITION BY event_type ORDER BY value) AS pr,
+  cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS cd,
+  ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS quartile
 FROM events""",
         "sessionize": """
 WITH g AS (

@@ -48,6 +48,8 @@ HEADLINE = [
     "region_rollup",
     "distinct_users",
     "running_sum",
+    "sliding_hour_value",
+    "event_value_distribution",
     "sessionize",
     "events_hourly_rollup",
     "local_supplier_volume",
