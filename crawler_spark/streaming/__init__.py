@@ -25,4 +25,5 @@ from crawler_spark.streaming.rollup import (  # noqa: F401
     hourly_host_rollup,
     hourly_host_rollup_stream,
     stateful_host_budget,
+    url_dedup_stream,
 )

@@ -123,3 +123,26 @@ def stateful_host_budget(stream_df: DataFrame, total_cap: int) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def url_dedup_stream(
+    stream_df: DataFrame,
+    ts_col: str = "warc_ts",
+    key_col: str = "url_canon",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming URL-seen dedup: emit each canonical URL's FIRST arrival,
+    dropping re-fetches that land within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` is the streaming twin of the batch
+    seen anti-join (frontier/seen.py): state for a key is kept only until
+    the watermark passes its arrival + delay, so state size is bounded by
+    the horizon's traffic — not by crawl lifetime (the unbounded-lifetime
+    cap is the batch seen table / Bloom; this operator is the in-flight
+    tier that stops duplicate fetches *within* a horizon at stream speed).
+    A duplicate later than the horizon re-emits — by design: the batch
+    layer owns forever-dedup, the stream layer owns burst-dedup.
+    """
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [key_col]
+    )

@@ -223,3 +223,51 @@ def test_stateful_host_budget_lifetime_cap(spark, tmp_path_factory):
     # lifetime cap across BOTH batches: h1 admits 4 then only 1 more
     assert sorted(per_host["h1"]) == [0, 1, 2, 3, 10]
     assert sorted(per_host["h2"]) == [100, 101]
+
+
+def test_url_dedup_stream_drops_in_horizon_duplicates(spark, tmp_path_factory):
+    """First arrival of each url_canon is emitted; a re-fetch within the
+    watermark horizon is dropped; a re-fetch far beyond it re-emits (state
+    for the key was evicted — burst-dedup tier, not forever-dedup)."""
+    from crawler_spark.streaming import url_dedup_stream
+    import time
+
+    base = str(tmp_path_factory.mktemp("streamdedup"))
+    batches = [
+        [(_ts(0, 0), "u1"), (_ts(0, 1), "u2")],
+        [(_ts(0, 30), "u1")],              # dup 30min later: inside 1h horizon
+        [(_ts(5, 0), "adv")],              # watermark advancer
+        [(_ts(6, 0), "adv2")],             # eviction lag (SPARK-40925)
+        [(_ts(7, 0), "u1")],               # u1 again, hours later: re-emits
+    ]
+    t0 = time.time()
+    for i, rows in enumerate(batches):
+        d = os.path.join(base, f"f{i}")
+        spark.createDataFrame(rows, "warc_ts timestamp, url_canon string").coalesce(
+            1
+        ).write.parquet(d)
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (t0 + 60 * i, t0 + 60 * i))
+    stream = (
+        spark.readStream.schema("warc_ts timestamp, url_canon string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base + "/*")
+    )
+    q = (
+        url_dedup_stream(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("stream_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = [
+        (r["url_canon"], r["warc_ts"].hour)
+        for r in spark.sql(
+            "select * from stream_dedup order by warc_ts"
+        ).collect()
+    ]
+    assert got.count(("u1", 0)) == 1      # 00:30 duplicate dropped
+    assert ("u2", 0) in got
+    assert ("u1", 7) in got               # beyond horizon: re-emitted
