@@ -384,7 +384,11 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 def connected_components(
-    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b", max_iters: int = 30
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iters: int = 30,
+    driver_cutoff: int = 1_000_000,
 ) -> DataFrame:
     """``(node, comp)`` for every node in ``pairs``; ``comp`` = min node id
     reachable in the undirected pair graph (the canonical cluster label).
@@ -414,11 +418,48 @@ def connected_components(
       (cheap), not a full recompute.
     Reference parity: the reference has no dedup at all (SURVEY §2.4
     Distinct row) — this is new per the training-data-pipeline mandate.
+
+    Small-graph fast path: thresholded near-dup pairs are the SMALL side
+    by construction (true duplicates are rare), so below ``driver_cutoff``
+    edges the components are solved with a driver-side min-union-find —
+    one collect of the edge list (≤ ~16 MB at the default cutoff) instead
+    of 2-3 distributed rounds of 2 joins each. Same output, bit-for-bit
+    (min-root union ⇒ root = component min, identical to label
+    propagation's fixpoint). This is the broadcast-join threshold idea
+    applied to graph state; a 100 TB corpus whose pair graph exceeds the
+    cutoff takes the distributed path automatically.
     """
     sym = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")).unionByName(
         pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
     )
     edges = sym.distinct().persist()
+    n_edges = edges.count()
+    if n_edges <= driver_cutoff:
+        rows = edges.collect()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for r in rows:
+            ru, rv = find(r["u"]), find(r["v"])
+            if ru != rv:
+                lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                parent[hi] = lo  # min root wins → root IS the component min
+        out = [(n, find(n)) for n in {r["u"] for r in rows}]
+        edges.unpersist()
+        spark = pairs.sparkSession
+        schema = (
+            pairs.select(
+                F.col(a_col).alias("node"), F.col(a_col).alias("comp")
+            ).schema
+        )
+        return spark.createDataFrame(out, schema)
     labels = (
         edges.select(F.col("u").alias("node")).distinct().withColumn("comp", F.col("node"))
     ).localCheckpoint()

@@ -503,7 +503,8 @@ def test_resize_images_matches_python_kernel(spark):
         resize_image(b"x", 8, 8)
 
 
-def test_connected_components_chain_and_islands(spark):
+@pytest.mark.parametrize("cutoff", [0, 1_000_000])  # distributed / union-find
+def test_connected_components_chain_and_islands(spark, cutoff):
     # chain 1-2-3-4 (diameter 3, needs >1 round), island {10,11}, and a
     # triangle {20,21,22} with redundant edges; 30 is a singleton via
     # near_dup_components only
@@ -511,18 +512,22 @@ def test_connected_components_chain_and_islands(spark):
         [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
         "id_a long, id_b long",
     )
-    comp = {r["node"]: r["comp"] for r in dd.connected_components(pairs).collect()}
+    comp = {
+        r["node"]: r["comp"]
+        for r in dd.connected_components(pairs, driver_cutoff=cutoff).collect()
+    }
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
-def test_connected_components_long_chain_pointer_jump(spark):
+@pytest.mark.parametrize("cutoff", [0, 1_000_000])
+def test_connected_components_long_chain_pointer_jump(spark, cutoff):
     # 0-1-2-...-15: min label must traverse the whole chain; pointer
     # jumping keeps rounds logarithmic but correctness is what's pinned
     n = 16
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
     )
-    rows = dd.connected_components(pairs).collect()
+    rows = dd.connected_components(pairs, driver_cutoff=cutoff).collect()
     assert {r["node"] for r in rows} == set(range(n))
     assert all(r["comp"] == 0 for r in rows)
 
