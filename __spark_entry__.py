@@ -443,6 +443,49 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_typed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSON: `from_json` parses props into a typed struct
+    (vs `json_props_rollup`'s path extraction), and `to_json` re-serializes
+    the struct to a canonical form — both JVM-side codegen expressions.
+    The parse-project-reserialize shape is how typed JSON columns ride the
+    scan at 100 TB (schema declared, no sampling pass)."""
+    events = _t(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k int")
+    return events.select(
+        "event_id",
+        parsed["k"].alias("k"),
+        F.when(parsed["k"].isNotNull(), F.to_json(F.struct(parsed["k"].alias("k"))))
+        .alias("canon_json"),
+    )
+
+
+def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (`F.session_window`) — the merge-on-gap
+    operator, vs `sessionize`'s hand-rolled lag-gap islands. Semantics
+    pinned: the session end is EXCLUSIVE (last_ts + gap), so an event
+    arriving exactly gap later starts a NEW session — the oracle's island
+    break is therefore `>=`, not `>`. Window bounds are emitted as
+    microsecond-formatted strings so the value hash is engine-neutral."""
+    events = _t(spark, sf_dir, "events")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return (
+        events.groupBy(
+            F.session_window("ts", "1 hour").alias("win"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("win.start", fmt).alias("session_start"),
+            F.date_format("win.end", fmt).alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style time-bucket rollup: date_trunc to the hour, agg per
     (bucket, event_type). The bucket is emitted as a formatted string so the
@@ -1396,6 +1439,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_sum": q_running_sum,
         "sliding_hour_value": q_sliding_hour_value,
         "event_value_distribution": q_event_value_distribution,
+        "session_window_stats": q_session_window_stats,
+        "json_typed_parse": q_json_typed_parse,
         "sessionize": q_sessionize,
         "events_hourly_rollup": q_events_hourly_rollup,
         "events_type_hour_rollup": q_events_type_hour_rollup,
@@ -2017,6 +2062,31 @@ SELECT event_id, user_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+        "json_typed_parse": """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INT) AS k,
+       CASE WHEN json_extract(props, '$.k') IS NOT NULL
+            THEN '{"k":' || CAST(json_extract(props, '$.k') AS INT)::VARCHAR || '}'
+       END AS canon_json
+FROM events""",
+        "session_window_stats": """
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events),
+g AS (
+  SELECT user_id, ts, value,
+         sum(CASE WHEN pts IS NULL OR ts - pts >= INTERVAL 1 HOUR
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(max(ts) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       count(*) AS n_events,
+       (sum(CAST(value AS DECIMAL(18,2))))::DOUBLE AS sum_value
+FROM g GROUP BY user_id, sid""",
         "event_value_distribution": """
 SELECT event_id, event_type,
   percent_rank() OVER (PARTITION BY event_type ORDER BY value) AS pr,

@@ -51,6 +51,8 @@ HEADLINE = [
     "sliding_hour_value",
     "event_value_distribution",
     "sessionize",
+    "session_window_stats",
+    "json_typed_parse",
     "events_hourly_rollup",
     "local_supplier_volume",
     "exact_dedup",
