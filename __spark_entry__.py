@@ -1011,6 +1011,19 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_csv(spark, path)
 
 
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink roundtrip — typed columnar interchange (schema
+    travels with the file; stripe statistics feed pushdown like parquet)."""
+    import tempfile
+
+    from crawler_spark.sinks import read_orc, write_orc
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    path = tempfile.mkdtemp(prefix="entry_orc_") + "/out"
+    write_orc(docs, path)
+    return read_orc(spark, path)
+
+
 def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines source/sink roundtrip — the interchange format of crawl
     pipelines (WARC metadata sidecars, CC index files). Written with the
@@ -1480,6 +1493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "csv_roundtrip": q_csv_roundtrip,
         "jsonl_roundtrip": q_jsonl_roundtrip,
+        "orc_roundtrip": q_orc_roundtrip,
         "orders_month_seasonality": q_orders_month_seasonality,
         "user_event_sequence": q_user_event_sequence,
         "text_quality": q_text_quality,
@@ -2209,6 +2223,7 @@ WHERE round(list_dot_product(a.v, b.v) /
             "CAST(n_chars AS VARCHAR) AS n_chars FROM documents"
         ),
         "jsonl_roundtrip": "SELECT doc_id, source, n_chars FROM documents",
+        "orc_roundtrip": "SELECT doc_id, source, n_chars FROM documents",
         "orders_month_seasonality": """
 SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
        CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,

@@ -47,3 +47,17 @@ def read_csv(spark: SparkSession, path: str) -> DataFrame:
     return (
         spark.read.option("header", True).option("inferSchema", False).csv(path)
     )
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Columnar ORC sink (typed, unlike the all-strings CSV contract) —
+    the third interchange format next to parquet and JSONL. ORC keeps
+    column statistics per stripe, so downstream predicate pushdown works
+    the same as parquet's."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Read an ORC directory; schema travels with the file (no inference
+    pass, no declared schema needed — unlike JSONL)."""
+    return spark.read.orc(path)

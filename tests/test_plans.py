@@ -192,3 +192,35 @@ def test_lang_id_expression_tree_is_linear_in_languages(spark, sf001_dir):
     )
     # one tokenize per language; the broken form had 2^(K-1)+ copies
     assert tree.count("split(lower(text)") <= len(STOPWORDS) + 1, len(tree)
+
+
+def test_q21_shape_joins_are_hash_not_nested_loop(spark, sf001_dir):
+    """sole_returned_supplier's EXISTS/NOT-EXISTS carry an inequality
+    residual (suppkey ≠ suppkey) on top of the orderkey equi-key; the plan
+    must keep the equi-key as the join key (hash joins) — a
+    BroadcastNestedLoopJoin here is O(orders × orders) at scale."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.q_sole_returned_supplier(spark, sf001_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+
+
+def test_min_cost_supplier_broadcasts_dims(spark, sf001_dir):
+    """Q2 shape: part and supplier are dims — both must broadcast; the
+    offers→mins re-join is the only fact-sized exchange."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.q_min_cost_supplier(spark, sf001_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_semantic_dedup_pair_join_is_equi_on_cluster(spark, sf001_dir):
+    """SemDeDup's within-cluster pair join must be an equi-join on cid —
+    a nested-loop fallback would be corpus² regardless of clustering."""
+    from crawler_spark.pipeline import similarity as sim
+
+    emb = spark.read.parquet(f"{sf001_dir}/embeddings.parquet")
+    out = sim.semantic_dedup(emb, "vec_id", "embedding", n_centroids=4, threshold=0.35)
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
