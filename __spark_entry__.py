@@ -853,6 +853,13 @@ def q_lsh_est_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_similarity(sig, pairs, n_hashes=MINHASH_K)
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per doc, TF-IDF ranked (log-free idf
+    ratio — bit-stable across engines; textstats.tfidf_top_terms)."""
+    docs = _t(spark, sf_dir, "documents")
+    return ts.tfidf_top_terms(docs, "doc_id", "text", k=5)
+
+
 def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters: most-frequent-bigram fraction +
     duplicated-trigram fraction per document."""
@@ -1485,6 +1492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": q_near_dup_clusters,
         "span_dedup": q_span_dedup,
         "repetition_quality": q_repetition_quality,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
@@ -1586,6 +1594,26 @@ def _sql_lsh_est_jaccard() -> str:
         f"SELECT p.id_a, p.id_b, ({eq})::DOUBLE / {float(MINHASH_K)} AS est_jaccard "
         "FROM pairs p JOIN sig a ON p.id_a = a.doc_id JOIN sig b ON p.id_b = b.doc_id"
     )
+
+
+def _sql_tfidf_top_terms(k: int = 5) -> str:
+    """SQL twin of ``textstats.tfidf_top_terms``: same tokenizer, same
+    integer tf/df counts, same single-rounded double score
+    (tf·(N+1)/(df+1) — IEEE multiply+divide, bit-identical)."""
+    return f"""
+WITH t AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dft.df_t,
+         CAST(tf.tf AS DOUBLE) * (n.n_docs + 1) / (dft.df_t + 1) AS score
+  FROM tf JOIN dft USING (term) CROSS JOIN n),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+      FROM scored)
+SELECT doc_id, term, tf, df_t, score, rnk FROM r WHERE rnk <= {k}
+"""
 
 
 def _sql_repetition_quality() -> str:
@@ -2132,6 +2160,7 @@ FROM g GROUP BY user_id""",
         "near_dup_clusters": _sql_near_dup_clusters(),
         "span_dedup": _sql_span_dedup(),
         "repetition_quality": _sql_repetition_quality(),
+        "tfidf_top_terms": _sql_tfidf_top_terms(),
         "simhash": _sql_simhash(SIMHASH_BITS),
         "ngram_jaccard": f"""
 WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

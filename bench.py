@@ -65,6 +65,7 @@ HEADLINE = [
     "semantic_dedup",
     "text_quality",
     "repetition_quality",
+    "tfidf_top_terms",
     "quality_by_source",
     "json_props_rollup",
     "latest_event_per_user",

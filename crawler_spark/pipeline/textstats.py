@@ -257,3 +257,45 @@ def repetition_stats(df, id_col: str, text_col: str):
             F.coalesce("dup_trigram_frac", F.lit(0.0)).alias("dup_trigram_frac"),
         )
     )
+
+
+def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 5):
+    """Top-k characteristic terms per document by TF-IDF.
+
+    Score = ``tf · (N+1)/(df+1)`` — the log-free idf ratio. Rationale: it
+    is monotone in tf and in 1/df like the classic ``tf·ln((N+1)/(df+1))``,
+    but uses only IEEE multiply/divide (correctly rounded, bit-identical
+    across engines), where ``ln`` is libm-dependent and can flip
+    nearly-tied ranks between Spark's JVM and a SQL oracle. Ties are
+    broken by term ascending — rank is fully a data property.
+
+    Shape: explode tokens → (doc, term) tf counts (one shuffle) → term
+    document-frequency table (vocab-sized → BROADCAST back onto tf, no
+    fact-sized term-keyed shuffle; stopword skew never materializes) →
+    per-doc top-k window. N is one count() on the (already narrow) doc
+    frame.
+    """
+    from pyspark.sql import Window
+
+    from crawler_spark.pipeline.dedup import spread
+
+    n_docs = df.count()
+    toks = spread(df).select(
+        F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.persist()  # scanned twice: df_t build + scored join
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    score = (
+        F.col("tf").cast("double") * F.lit(float(n_docs + 1)) / (F.col("df_t") + 1)
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(F.broadcast(dft), "term")
+        .withColumn("score", score)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(F.col(id_col), "term", "tf", "df_t", "score", "rnk")
+    )
