@@ -853,6 +853,28 @@ def q_lsh_est_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_similarity(sig, pairs, n_hashes=MINHASH_K)
 
 
+def q_purchase_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative graph algorithm, fully oracle-checked: 3 synchronous
+    PageRank iterations over the customer→supplier purchase graph
+    (edges = distinct (o_custkey, l_suppkey) through orders⋈lineitem;
+    supplier node ids offset by 10^6 to keep node spaces disjoint).
+    The oracle unrolls the same iterations as chained CTEs — iterative ≠
+    rows-only. In the crawl, ranks like these feed the frontier's
+    priority column (pipeline/graph.py docstring)."""
+    from crawler_spark.pipeline.graph import pagerank
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(1_000_000)).alias("dst"),
+        )
+    )
+    return pagerank(edges, iters=3).withColumnRenamed("rank", "pr")
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 characteristic terms per doc, TF-IDF ranked (log-free idf
     ratio — bit-stable across engines; textstats.tfidf_top_terms)."""
@@ -1493,6 +1515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "repetition_quality": q_repetition_quality,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "purchase_graph_pagerank": q_purchase_graph_pagerank,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
@@ -1594,6 +1617,31 @@ def _sql_lsh_est_jaccard() -> str:
         f"SELECT p.id_a, p.id_b, ({eq})::DOUBLE / {float(MINHASH_K)} AS est_jaccard "
         "FROM pairs p JOIN sig a ON p.id_a = a.doc_id JOIN sig b ON p.id_b = b.doc_id"
     )
+
+
+def _sql_pagerank(iters: int = 3, damping: float = 0.85) -> str:
+    """SQL twin of ``graph.pagerank``: the same synchronous iterations
+    unrolled as chained CTEs (r0 → r1 → … → r{iters}), same per-iteration
+    round(…, 8) determinism contract."""
+    base = (
+        "WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), "
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), "
+        "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src), "
+        "r0 AS (SELECT node, 1.0::DOUBLE AS pr FROM nodes)"
+    )
+    parts = [base]
+    for t in range(1, iters + 1):
+        parts.append(
+            f", c{t} AS (SELECT e.dst AS node, sum(r.pr / d.deg) AS inflow "
+            f"FROM e JOIN deg d USING (src) JOIN r{t-1} r ON r.node = e.src "
+            "GROUP BY e.dst)"
+            f", r{t} AS (SELECT n.node, round({1.0 - damping} + {damping} * "
+            f"coalesce(c.inflow, 0.0), 8) AS pr "
+            f"FROM nodes n LEFT JOIN c{t} c USING (node))"
+        )
+    parts.append(f" SELECT node, pr FROM r{iters}")
+    return "".join(parts)
 
 
 def _sql_tfidf_top_terms(k: int = 5) -> str:
@@ -2161,6 +2209,7 @@ FROM g GROUP BY user_id""",
         "span_dedup": _sql_span_dedup(),
         "repetition_quality": _sql_repetition_quality(),
         "tfidf_top_terms": _sql_tfidf_top_terms(),
+        "purchase_graph_pagerank": _sql_pagerank(),
         "simhash": _sql_simhash(SIMHASH_BITS),
         "ngram_jaccard": f"""
 WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

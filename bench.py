@@ -66,6 +66,7 @@ HEADLINE = [
     "text_quality",
     "repetition_quality",
     "tfidf_top_terms",
+    "purchase_graph_pagerank",
     "quality_by_source",
     "json_props_rollup",
     "latest_event_per_user",

@@ -1,0 +1,76 @@
+"""Iterative graph algorithms over edge-list DataFrames.
+
+The crawl side of the engine produces a link graph (outlink expansion,
+frontier/canon.py); this module consumes one. PageRank-style authority
+scores are the classic crawl-prioritization signal (feed them into the
+frontier's ``priority`` column and the politeness window schedules
+high-authority hosts first).
+
+Scale shape per iteration: ONE shuffle — contributions are
+``edges ⋈ ranks`` grouped by destination; the rank frame is node-sized
+(≪ edges) and the out-degree table is joined once up front. Lineage is
+cut per iteration with ``localCheckpoint`` (iterative plans otherwise
+re-analyze superlinearly; on a cluster use ``checkpoint()`` to a
+reliable dir for fault tolerance at the same cut points).
+
+Determinism contract: a FIXED iteration count (no float-convergence
+test), per-iteration ``round(rank, 8)`` so cross-engine float-sum
+ulp drift cannot compound, and dangling nodes (no out-edges) simply
+contribute nothing — the plain simplification, stated rather than
+hidden. The SQL oracle unrolls the same iterations as chained CTEs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """``(node, rank)`` after ``iters`` synchronous PageRank iterations.
+
+    rank_0 = 1.0 for every node; rank_{t+1}(v) = (1-d) + d·Σ_{u→v}
+    rank_t(u)/outdeg(u), rounded to 8 d.p. (the determinism contract
+    above). Nodes = all endpoints; duplicate edges are collapsed first
+    (weights are out of scope — a weighted variant changes one line).
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct().persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # edges with the sender's degree attached — reused every iteration
+    ed = e.join(outdeg, "src").persist()
+    ranks = nodes.withColumn("rank", F.lit(1.0)).localCheckpoint()
+    for _ in range(iters):
+        contrib = (
+            ed.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0)),
+                    8,
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    e.unpersist()
+    ed.unpersist()
+    nodes.unpersist()
+    return ranks

@@ -576,3 +576,16 @@ def test_repetition_stats_hand_case(spark):
     assert out[2] == (1 / 2, 0.0)
     assert out[3] == (0.0, 0.0)   # too short for any n-gram
     assert out[4] == (0.0, 0.0)
+
+
+def test_pagerank_hand_case(spark):
+    # star: 1->3, 2->3; 3 dangling. r0=1 each.
+    # iter1: r(3) = 0.15 + 0.85*(1/1 + 1/1) = 1.85; r(1)=r(2)=0.15 (no inflow)
+    # iter2: r(3) = 0.15 + 0.85*(0.15 + 0.15) = 0.405
+    from crawler_spark.pipeline.graph import pagerank
+
+    edges = spark.createDataFrame([(1, 3), (2, 3)], "src long, dst long")
+    r1 = {r["node"]: r["rank"] for r in pagerank(edges, iters=1).collect()}
+    assert r1 == {1: 0.15, 2: 0.15, 3: 1.85}
+    r2 = {r["node"]: r["rank"] for r in pagerank(edges, iters=2).collect()}
+    assert r2[3] == 0.405 and r2[1] == 0.15
