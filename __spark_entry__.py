@@ -872,7 +872,7 @@ def q_purchase_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") + F.lit(1_000_000)).alias("dst"),
         )
     )
-    return pagerank(edges, iters=3).withColumnRenamed("rank", "pr")
+    return pagerank(edges, iters=3, small_ranks=True).withColumnRenamed("rank", "pr")
 
 
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -31,6 +31,7 @@ def pagerank(
     dst_col: str = "dst",
     iters: int = 3,
     damping: float = 0.85,
+    small_ranks: bool = False,
 ) -> DataFrame:
     """``(node, rank)`` after ``iters`` synchronous PageRank iterations.
 
@@ -38,6 +39,14 @@ def pagerank(
     rank_t(u)/outdeg(u), rounded to 8 d.p. (the determinism contract
     above). Nodes = all endpoints; duplicate edges are collapsed first
     (weights are out of scope — a weighted variant changes one line).
+
+    ``small_ranks=True`` declares the node table broadcastable (host-level
+    graphs: 10^7 hosts of a 10^10-page crawl fit executors easily). Each
+    iteration then BROADCASTS the rank frame into the edge join — the
+    edge frame never reshuffles across iterations; the only exchange is
+    the node-sized partial-aggregated contribution. Leave False for
+    page-level graphs, where ranks are edge-scale and the hash join is
+    the right plan.
     """
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -52,14 +61,15 @@ def pagerank(
     # edges with the sender's degree attached — reused every iteration
     ed = e.join(outdeg, "src").persist()
     ranks = nodes.withColumn("rank", F.lit(1.0)).localCheckpoint()
+    maybe_bcast = F.broadcast if small_ranks else (lambda df: df)
     for _ in range(iters):
         contrib = (
-            ed.join(ranks.withColumnRenamed("node", "src"), "src")
+            ed.join(maybe_bcast(ranks.withColumnRenamed("node", "src")), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("inflow"))
         )
         ranks = (
-            nodes.join(contrib, "node", "left")
+            nodes.join(maybe_bcast(contrib), "node", "left")
             .select(
                 "node",
                 F.round(
