@@ -459,6 +459,23 @@ def q_json_typed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured data: `parse_json` → open
+    VARIANT (binary-encoded, no declared schema — unlike `from_json`) →
+    `variant_get` typed shredding. At 100 TB this is the schema-drift-safe
+    ingestion shape: parse once at write, shred lazily per query."""
+    events = _t(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return events.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k"),
+        F.when(
+            F.variant_get(v, "$.k", "int").isNotNull(),
+            F.variant_get(v, "$.k", "int") % 10,
+        ).alias("k_bucket"),
+    )
+
+
 def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session windows (`F.session_window`) — the merge-on-gap
     operator, vs `sessionize`'s hand-rolled lag-gap islands. Semantics
@@ -1483,6 +1500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_value_distribution": q_event_value_distribution,
         "session_window_stats": q_session_window_stats,
         "json_typed_parse": q_json_typed_parse,
+        "variant_shred": q_variant_shred,
         "sessionize": q_sessionize,
         "events_hourly_rollup": q_events_hourly_rollup,
         "events_type_hour_rollup": q_events_type_hour_rollup,
@@ -2152,6 +2170,11 @@ SELECT event_id, user_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+        "variant_shred": """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INT) AS k,
+       CAST(json_extract(props, '$.k') AS INT) % 10 AS k_bucket
+FROM events""",
         "json_typed_parse": """
 SELECT event_id,
        CAST(json_extract(props, '$.k') AS INT) AS k,

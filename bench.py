@@ -53,6 +53,7 @@ HEADLINE = [
     "sessionize",
     "session_window_stats",
     "json_typed_parse",
+    "variant_shred",
     "events_hourly_rollup",
     "local_supplier_volume",
     "exact_dedup",
