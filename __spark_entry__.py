@@ -870,6 +870,37 @@ def q_lsh_est_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_similarity(sig, pairs, n_hashes=MINHASH_K)
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: flag training docs sharing any word
+    3-gram with a benchmark set (here: the 5 smallest doc_ids — a
+    deterministic stand-in for an eval suite). The benchmark shingle set
+    is tiny → broadcast left_semi/left_anti; at 100 TB the flag costs one
+    scan, zero fact-sized shuffles. Real pipelines use 13-grams (GPT-3
+    appendix C methodology); the window size is a parameter, 3 here only
+    because the synthetic docs are short."""
+    docs = _t(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") < 5
+    bench_grams = (
+        docs.filter(is_bench)
+        .select(F.explode(dd.shingles_expr(F.col("text"), 3)).alias("shingle"))
+        .distinct()
+    )
+    grams = docs.filter(~is_bench).select(
+        "doc_id", F.explode(dd.shingles_expr(F.col("text"), 3)).alias("shingle")
+    )
+    contaminated = (
+        grams.join(F.broadcast(bench_grams), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        docs.filter(~is_bench)
+        .select("doc_id")
+        .join(contaminated.withColumn("contaminated", F.lit(True)), "doc_id", "left")
+        .select("doc_id", F.coalesce("contaminated", F.lit(False)).alias("contaminated"))
+    )
+
+
 def q_purchase_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative graph algorithm, fully oracle-checked: 3 synchronous
     PageRank iterations over the customer→supplier purchase graph
@@ -1534,6 +1565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_quality": q_repetition_quality,
         "tfidf_top_terms": q_tfidf_top_terms,
         "purchase_graph_pagerank": q_purchase_graph_pagerank,
+        "decontaminate": q_decontaminate,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
@@ -2233,6 +2265,17 @@ FROM g GROUP BY user_id""",
         "repetition_quality": _sql_repetition_quality(),
         "tfidf_top_terms": _sql_tfidf_top_terms(),
         "purchase_graph_pagerank": _sql_pagerank(),
+        "decontaminate": f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+bg AS (SELECT DISTINCT unnest(list_transform(range(1, len(toks) - 1),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+       FROM tk WHERE doc_id < 5 AND len(toks) >= 3),
+g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+      FROM tk WHERE doc_id >= 5 AND len(toks) >= 3),
+c AS (SELECT DISTINCT doc_id FROM g WHERE shingle IN (SELECT shingle FROM bg))
+SELECT d.doc_id, c.doc_id IS NOT NULL AS contaminated
+FROM documents d LEFT JOIN c USING (doc_id) WHERE d.doc_id >= 5""",
         "simhash": _sql_simhash(SIMHASH_BITS),
         "ngram_jaccard": f"""
 WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

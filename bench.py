@@ -68,6 +68,7 @@ HEADLINE = [
     "repetition_quality",
     "tfidf_top_terms",
     "purchase_graph_pagerank",
+    "decontaminate",
     "quality_by_source",
     "json_props_rollup",
     "latest_event_per_user",
