@@ -163,6 +163,10 @@ def main() -> int:
             force(fn(spark, SF_DIR))
             best = min(best, time.monotonic() - t0)
         timings[name] = round(best, 3)
+        # queries that persist() intermediates return lazy frames, so they
+        # cannot unpersist themselves; leaked cache blocks otherwise pile
+        # up as GC pressure that contaminates LATER queries' timings
+        spark.catalog.clearCache()
 
     result = {
         "metric": "headline_queries_total_wall",
