@@ -863,9 +863,11 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lsh_est_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH banding → candidate pairs → estimated Jaccard."""
     docs = _t(spark, sf_dir, "documents")
+    # sig feeds banding AND both sides of the similarity join — persist so
+    # the explode+groupBy signature build runs once, not three times
     sig = dd.minhash_signatures(
         docs, "doc_id", "text", n_hashes=MINHASH_K, ngram=1, seed=MINHASH_SEED
-    )
+    ).persist()
     pairs = dd.lsh_candidate_pairs(sig, "doc_id", n_hashes=MINHASH_K, bands=LSH_BANDS)
     return dd.minhash_similarity(sig, pairs, n_hashes=MINHASH_K)
 
@@ -955,7 +957,7 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     sig = dd.minhash_signatures(
         docs, "doc_id", "text", n_hashes=MINHASH_K, ngram=2, seed=MINHASH_SEED
-    )
+    ).persist()  # banding + both similarity-join sides: build once
     pairs = dd.lsh_candidate_pairs(sig, "doc_id", n_hashes=MINHASH_K, bands=LSH_BANDS)
     dup = dd.minhash_similarity(sig, pairs, n_hashes=MINHASH_K).filter(
         F.col("est_jaccard") >= 0.6

@@ -32,6 +32,7 @@ def pagerank(
     iters: int = 3,
     damping: float = 0.85,
     small_ranks: bool = False,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """``(node, rank)`` after ``iters`` synchronous PageRank iterations.
 
@@ -47,6 +48,12 @@ def pagerank(
     the node-sized partial-aggregated contribution. Leave False for
     page-level graphs, where ranks are edge-scale and the hash join is
     the right plan.
+
+    ``checkpoint_every``: iterations between lineage cuts. There is no
+    convergence probe (fixed iteration count), so iterations stay LAZY —
+    a short run compiles into ONE Spark job; the cut only exists to stop
+    deep runs from superlinear plan re-analysis. The cut is skipped after
+    the final iteration (the caller's action materializes it).
     """
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -60,27 +67,22 @@ def pagerank(
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # edges with the sender's degree attached — reused every iteration
     ed = e.join(outdeg, "src").persist()
-    ranks = nodes.withColumn("rank", F.lit(1.0)).localCheckpoint()
+    ranks = nodes.withColumn("rank", F.lit(1.0))
     maybe_bcast = F.broadcast if small_ranks else (lambda df: df)
-    for _ in range(iters):
+    for t in range(1, iters + 1):
         contrib = (
             ed.join(maybe_bcast(ranks.withColumnRenamed("node", "src")), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("inflow"))
         )
-        ranks = (
-            nodes.join(maybe_bcast(contrib), "node", "left")
-            .select(
-                "node",
-                F.round(
-                    F.lit(1.0 - damping)
-                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0)),
-                    8,
-                ).alias("rank"),
-            )
-            .localCheckpoint()
+        ranks = nodes.join(maybe_bcast(contrib), "node", "left").select(
+            "node",
+            F.round(
+                F.lit(1.0 - damping)
+                + F.lit(damping) * F.coalesce("inflow", F.lit(0.0)),
+                8,
+            ).alias("rank"),
         )
-    e.unpersist()
-    ed.unpersist()
-    nodes.unpersist()
+        if t % checkpoint_every == 0 and t < iters:
+            ranks = ranks.localCheckpoint()
     return ranks
