@@ -626,16 +626,27 @@ def q_events_type_hour_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-LATEST snapshot dedup (the Common-Crawl 'newest capture wins'
-    recrawl pattern, warc_ts-shaped): row_number over (key, ts DESC) = 1.
-    One shuffle on the key; complements dedup_keep_first's keep-smallest."""
+    recrawl pattern, warc_ts-shaped), as `max_by` over a fully-tiebroken
+    (ts, event_id) struct — NOT a row_number window: the aggregate gets
+    map-side partial aggregation (each task ships one candidate row per
+    key, shuffle bytes ∝ keys), where the window form shuffles and sorts
+    EVERY capture. At recrawl scale (many captures per url) that is the
+    difference between a keys-sized and a corpus-sized exchange."""
     events = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
+    ord_key = F.struct(F.col("ts"), F.col("event_id"))
     return (
-        events.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "event_id", "event_type", "value")
+        events.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("event_id", "event_type", "value"), ord_key
+            ).alias("m")
+        )
+        .select(
+            "user_id",
+            F.col("m.event_id").alias("event_id"),
+            F.col("m.event_type").alias("event_type"),
+            F.col("m.value").alias("value"),
+        )
     )
 
 
