@@ -112,15 +112,19 @@ def exact_dedup_groups(df: DataFrame, id_col: str, fingerprint: Column) -> DataF
 def exact_dedup_keep_first(df: DataFrame, id_col: str, fingerprint: Column) -> DataFrame:
     """The deduplicated corpus itself: keep the min-id row per fingerprint.
 
-    Window + filter rather than groupBy-then-join: one shuffle, no second
-    scan of the (wide) document rows.
+    ``min_by(whole_row, id)`` rather than a row_number window: the
+    aggregate gets map-side partial aggregation (duplicate rows collapse
+    to one candidate per task before the exchange) and never SORTS within
+    fingerprint partitions — on a boilerplate-heavy crawl where one page
+    body has 10^6 captures, the window form sorts them all, the aggregate
+    form ships at most one per task. One shuffle, no second scan.
     """
-    w = Window.partitionBy("_fp").orderBy(F.col(id_col))
+    cols = df.columns
     return (
         df.withColumn("_fp", fingerprint)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_fp", "_rn")
+        .groupBy("_fp")
+        .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("_m"))
+        .select([F.col(f"_m.{c}").alias(c) for c in cols])
     )
 
 
