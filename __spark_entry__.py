@@ -1403,6 +1403,25 @@ def q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_balanced_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced k-per-group sampling (training-mix construction: equal doc
+    counts per source regardless of source skew): rank docs within source
+    by md5(doc_id) — a stable pseudo-random order that is a pure function
+    of the key (reproducible across runs/partitionings/engines, unlike
+    df.sample) — and keep the first 10. One shuffle on source; the window
+    is literal-bounded so Catalyst inserts a partial WindowGroupLimit
+    before the exchange (each map task ships ≤ 10 rows per source)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("source", "doc_id", "lang", "n_chars", "rnk")
+    )
+
+
 def q_events_in_promo_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (point-in-interval) join via hourly bucketing: intervals are
     exploded to the hour buckets they overlap, events join on their own
@@ -1597,6 +1616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_by_source": q_quality_by_source,
         "curate_corpus": q_curate_corpus,
         "stratified_sample_docs": q_stratified_sample_docs,
+        "balanced_sample_per_source": q_balanced_sample_per_source,
         # rows-only (stateful / approximate / stubbed decode)
         "crawl_bsp_rounds": q_crawl_bsp_rounds,
         "stream_crawl_rounds": q_stream_crawl_rounds,
@@ -2452,6 +2472,13 @@ SELECT lang, count(*) AS n_sampled, sum(n_chars)::BIGINT AS sum_chars
 FROM documents
 WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
 GROUP BY lang""",
+        "balanced_sample_per_source": """
+WITH r AS (
+  SELECT source, doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+  FROM documents)
+SELECT source, doc_id, lang, n_chars, rnk FROM r WHERE rnk <= 10""",
         "curate_corpus": f"""
 WITH tq AS ({_sql_text_quality()}),
 d AS (SELECT doc_id, source, {_FP} AS fp FROM documents),

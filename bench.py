@@ -79,6 +79,7 @@ HEADLINE = [
     "purchase_intersect_signup",
     "events_in_promo_windows",
     "stratified_sample_docs",
+    "balanced_sample_per_source",
     "customers_without_orders",
     "returned_orders_by_priority",
     "small_qty_part_revenue",
