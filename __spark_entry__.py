@@ -1114,6 +1114,32 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_orc(spark, path)
 
 
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC source/sink roundtrip — Common Crawl's native format. Records
+    are GENERATED Spark-side (concat expr, one record per doc) and read
+    back with `sources.read_warc` (text source + record separator, all
+    parsing in codegen expressions). The oracle sees the same (url, html)
+    projection of documents."""
+    import tempfile
+
+    from crawler_spark.sources import read_warc
+
+    docs = _t(spark, sf_dir, "documents")
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            "\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n\r\n"
+            "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        ),
+        F.col("text"),
+        F.lit("\r\n"),  # record separator tail; writer adds the final \n
+    )
+    path = tempfile.mkdtemp(prefix="entry_warc_") + "/out"
+    docs.select(rec.alias("value")).write.mode("overwrite").text(path)
+    return read_warc(spark, path).select("url", "html")
+
+
 def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines source/sink roundtrip — the interchange format of crawl
     pipelines (WARC metadata sidecars, CC index files). Written with the
@@ -1607,6 +1633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_roundtrip": q_csv_roundtrip,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "orc_roundtrip": q_orc_roundtrip,
+        "warc_roundtrip": q_warc_roundtrip,
         "orders_month_seasonality": q_orders_month_seasonality,
         "user_event_sequence": q_user_event_sequence,
         "text_quality": q_text_quality,
@@ -2401,6 +2428,10 @@ WHERE round(list_dot_product(a.v, b.v) /
         ),
         "jsonl_roundtrip": "SELECT doc_id, source, n_chars FROM documents",
         "orc_roundtrip": "SELECT doc_id, source, n_chars FROM documents",
+        "warc_roundtrip": (
+            "SELECT 'http://docs/' || CAST(doc_id AS VARCHAR) AS url, "
+            "text AS html FROM documents"
+        ),
         "orders_month_seasonality": """
 SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
        CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,

@@ -60,3 +60,34 @@ def test_cosine_near_dups_matches_numpy(spark):
     assert set(got) == set(want) == {(0, 1), (2, 3)}
     for k in want:
         assert abs(got[k] - want[k]) < 1e-6
+
+
+def test_read_warc_parses_response_records(spark, tmp_path):
+    """Synthetic 3-record WARC: warcinfo + request are dropped, the two
+    responses parse to (url, warc_ts, html) with exact bodies — including
+    a body that itself contains a blank line."""
+    from crawler_spark.sources import read_warc
+
+    def rec(wtype, uri, date, payload):
+        h = f"WARC/1.0\r\nWARC-Type: {wtype}\r\n"
+        if uri:
+            h += f"WARC-Target-URI: {uri}\r\n"
+        h += f"WARC-Date: {date}\r\nContent-Length: {len(payload)}\r\n\r\n"
+        return h + payload + "\r\n\r\n"
+
+    http = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+    body1 = "<html><body>hello</body></html>"
+    body2 = "<html>first\r\n\r\nsecond</html>"  # blank line INSIDE body
+    warc = (
+        rec("warcinfo", None, "2024-01-01T00:00:00Z", "software: test")
+        + rec("request", "http://a.com/x", "2024-01-02T03:04:05Z", "GET /x HTTP/1.1")
+        + rec("response", "http://a.com/x", "2024-01-02T03:04:05Z", http + body1)
+        + rec("response", "http://b.com/y", "2024-02-03T04:05:06Z", http + body2)
+    )
+    p = tmp_path / "test.warc"
+    p.write_bytes(warc.encode())
+    got = {r["url"]: (str(r["warc_ts"]), r["html"]) for r in read_warc(spark, str(p)).collect()}
+    assert got == {
+        "http://a.com/x": ("2024-01-02 03:04:05", body1),
+        "http://b.com/y": ("2024-02-03 04:05:06", body2),
+    }
