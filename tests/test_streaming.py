@@ -271,3 +271,52 @@ def test_url_dedup_stream_drops_in_horizon_duplicates(spark, tmp_path_factory):
     assert got.count(("u1", 0)) == 1      # 00:30 duplicate dropped
     assert ("u2", 0) in got
     assert ("u1", 7) in got               # beyond horizon: re-emitted
+
+
+def test_host_budget_tws_matches_legacy_state_api(spark, tmp_path_factory):
+    """The transformWithStateInPandas budget admits the same (host, seq)
+    set as the applyInPandasWithState twin: lifetime cap 5 across two
+    micro-batches, per-batch (priority, seq) admission order, and a
+    lifetime_rank that keeps counting across batches.
+
+    Requires google.protobuf (the TWS driver worker speaks protobuf to
+    the JVM) and the RocksDB state store — skipped when the environment
+    lacks them; the applyInPandasWithState twin above covers the
+    semantics either way."""
+    pytest.importorskip("google.protobuf")
+    from crawler_spark.streaming.rollup import host_budget_tws
+
+    base = str(tmp_path_factory.mktemp("twsbudget"))
+    rows1 = [("h1", f"http://h1/{i}", 0, i) for i in range(4)] + [
+        ("h2", "http://h2/0", 0, 100)
+    ]
+    rows2 = [("h1", f"http://h1/x{i}", 0, 10 + i) for i in range(4)] + [
+        ("h2", "http://h2/1", 0, 101)
+    ]
+    schema = "host string, url_canon string, priority int, seq long"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(base + "/b0")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(base + "/b1")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base + "/*")
+    )
+    q = (
+        host_budget_tws(stream, budget=5)
+        .writeStream.format("memory")
+        .queryName("tws_budget_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("select * from tws_budget_out").collect()
+    per_host = {}
+    ranks = {}
+    for r in out:
+        per_host.setdefault(r["host"], []).append(r["seq"])
+        ranks[(r["host"], r["seq"])] = r["lifetime_rank"]
+    assert sorted(per_host["h1"]) == [0, 1, 2, 3, 10]
+    assert sorted(per_host["h2"]) == [100, 101]
+    # rank continues across batches: the batch-2 admit is h1's 5th
+    assert ranks[("h1", 10)] == 5
