@@ -589,3 +589,49 @@ def test_pagerank_hand_case(spark):
     assert r1 == {1: 0.15, 2: 0.15, 3: 1.85}
     r2 = {r["node"]: r["rank"] for r in pagerank(edges, iters=2).collect()}
     assert r2[3] == 0.405 and r2[1] == 0.15
+
+
+def test_span_dedup_matches_python_oracle_hypothesis(spark):
+    """Randomized corpora over a tiny vocab (maximal span collisions):
+    Spark span_dedup == a pure-Python keep-first oracle, including span
+    counts and the reassembled text. Few examples — each is a Spark job."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    W = 2
+    word = st.sampled_from(["a", "b", "c"])
+    doc = st.lists(word, min_size=0, max_size=9).map(" ".join)
+
+    def py_oracle(docs):
+        spans_by_doc = {
+            did: [
+                " ".join(t.split()[i * W : (i + 1) * W])
+                for i in range((len(t.split()) + W - 1) // W)
+            ]
+            for did, t in docs
+        }
+        first = {}
+        for did in sorted(spans_by_doc):
+            for idx, s in enumerate(spans_by_doc[did]):
+                first.setdefault(s, (did, idx))
+        return {
+            did: (
+                len(spans),
+                sum(1 for i, s in enumerate(spans) if first[s] == (did, i)),
+                " ".join(s for i, s in enumerate(spans) if first[s] == (did, i)),
+            )
+            for did, spans in spans_by_doc.items()
+        }
+
+    @settings(max_examples=4, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=12))
+    def inner(texts):
+        docs = list(enumerate(texts))
+        sdf = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_spans"], r["n_kept"], r["clean_text"])
+            for r in dd.span_dedup(sdf, "doc_id", "text", span_tokens=W).collect()
+        }
+        assert got == py_oracle(docs)
+
+    inner()
