@@ -298,6 +298,35 @@ def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("host", F.col("pos").cast("int").alias("pos"), "prefix")
 
 
+def q_robots_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-delay → per-host politeness budget: parse the UA-* group's
+    Crawl-delay (distractor delays in other groups must NOT leak) and
+    derive max_fetches_per_round = floor(round_seconds/delay), floor-1
+    minimum, default where absent. Synthesized input (spark.range ↔
+    DuckDB range); the oracle states the expected values directly from
+    the generating formula — ground truth by construction."""
+    from crawler_spark.frontier.politeness import budgets_from_crawl_delay, crawl_delay_expr
+
+    df = spark.range(40).select(
+        F.format_string("h%d.example.com", F.col("id")).alias("host"),
+        F.concat(
+            F.lit(
+                "User-agent: alpha\nCrawl-delay: 99\nDisallow: /a\n\n"
+                "User-agent: *\nDisallow: /x\n"
+            ),
+            F.when(
+                F.pmod(F.col("id"), F.lit(5)) > 0,
+                F.format_string("crawl-delay: %d\n", F.pmod(F.col("id"), F.lit(5))),
+            ).otherwise(F.lit("")),
+            F.lit("User-agent: beta\nCrawl-delay: 7"),
+        ).alias("robots_txt"),
+    )
+    return budgets_from_crawl_delay(df, round_seconds=60, default_budget=16).join(
+        df.select("host", crawl_delay_expr(F.col("robots_txt")).alias("crawl_delay")),
+        "host",
+    )
+
+
 def q_politeness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F6 per-host politeness budget as row_number window: first 3 events
     per user in deterministic (ts, event_id) order."""
@@ -1576,6 +1605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuckoo_seen_anti_join": q_cuckoo_seen_anti_join,
         "robots_semi_join": q_robots_semi_join,
         "robots_parse": q_robots_parse,
+        "robots_crawl_delay": q_robots_crawl_delay,
         "politeness_topk": q_politeness_topk,
         "host_budget": q_host_budget,
         "frontier_union": q_frontier_union,
@@ -2061,6 +2091,12 @@ FROM documents a LEFT JOIN documents b ON b.doc_id = a.doc_id + 1""",
             "SELECT c_custkey, c_acctbal FROM customer c WHERE EXISTS "
             "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
         ),
+        "robots_crawl_delay": """
+SELECT 'h' || i || '.example.com' AS host,
+       CASE WHEN i % 5 > 0 THEN CAST(i % 5 AS INT) END AS crawl_delay,
+       CAST(CASE WHEN i % 5 > 0 THEN greatest(1, floor(60.0 / (i % 5)))
+                 ELSE 16 END AS INT) AS max_fetches_per_round
+FROM range(40) t(i)""",
         "robots_parse": """
 WITH r AS (
   SELECT 'h' || i || '.example.com' AS host,

@@ -148,3 +148,59 @@ def apply_politeness_budget(
         scheduled.select("url_canon"), "url_canon", "left_anti"
     )
     return scheduled, deferred
+
+
+_CRAWL_DELAY_RE = r"(?i)^\s*crawl-delay\s*:\s*([0-9]+)"
+
+
+def crawl_delay_expr(text: Column) -> Column:
+    """``Crawl-delay`` seconds from the ``User-agent: *`` group of a raw
+    robots.txt body — NULL when absent/malformed. Same group-selection
+    rules (and the same codegen-only shape) as
+    :func:`robots_prefixes_expr`; first Crawl-delay in the group wins."""
+    lines = F.split(text, "\n")
+    n = F.size(lines)
+    idx = F.sequence(F.lit(1), n)
+
+    def is_ua(line: Column) -> Column:
+        return F.lower(F.ltrim(line)).startswith("user-agent:")
+
+    def is_ua_star(line: Column) -> Column:
+        return is_ua(line) & (F.trim(F.get(F.split(line, ":", 2), 1)) == F.lit("*"))
+
+    ua_hits = F.filter(idx, lambda i: is_ua_star(F.element_at(lines, i)))
+    start = F.get(ua_hits, 0)
+    next_hits = F.filter(idx, lambda i: (i > start) & is_ua(F.element_at(lines, i)))
+    stop = F.coalesce(F.get(next_hits, 0), n + 1)
+    group = F.filter(idx, lambda i: (i > start) & (i < stop))
+    vals = F.transform(
+        group,
+        lambda i: F.regexp_extract(F.element_at(lines, i), _CRAWL_DELAY_RE, 1),
+    )
+    first = F.get(F.filter(vals, lambda v: v != ""), 0)
+    return first.cast("int")
+
+
+def budgets_from_crawl_delay(
+    robots_raw: DataFrame,
+    round_seconds: int = 60,
+    default_budget: int = 16,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """Derive the per-host politeness dim from robots Crawl-delay: a host
+    asking for one fetch every D seconds gets ``max(1, round_seconds/D)``
+    fetches per round (a round models ``round_seconds`` of wall time);
+    hosts without a delay keep ``default_budget``. Output matches the
+    ``politeness(host, max_fetches_per_round)`` contract of
+    :func:`apply_politeness_budget`. Map-only, no shuffle."""
+    d = crawl_delay_expr(F.col(text_col))
+    # explicit floor: Spark's double→int cast truncates but other engines
+    # round, so the truncation is spelled out rather than relied on
+    budget = F.when(
+        d.isNotNull() & (d > 0),
+        F.greatest(F.lit(1), F.floor(F.lit(round_seconds) / d).cast("int")),
+    ).otherwise(F.lit(default_budget))
+    return robots_raw.select(
+        F.col(host_col).alias("host"), budget.alias("max_fetches_per_round")
+    )
