@@ -298,6 +298,32 @@ def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("host", F.col("pos").cast("int").alias("pos"), "prefix")
 
 
+def q_sitemap_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap XML → ordered frontier seeds. Synthesized sitemaps with 3
+    URLs per host (middle one lastmod-less and whitespace-padded),
+    parsed by per-<url>-block regexps in codegen; seq = document order."""
+    from crawler_spark.sources import sitemap_seeds
+
+    df = spark.range(30).select(
+        F.format_string("h%d.example.com", F.col("id")).alias("host"),
+        F.format_string(
+            '<?xml version="1.0"?><urlset>'
+            "<url><loc>http://h%d.example.com/p0</loc>"
+            "<lastmod>2024-01-%02d</lastmod></url>"
+            "<url><loc>  http://h%d.example.com/p1  </loc></url>"
+            "<url><lastmod>2024-09-09</lastmod></url>"
+            "<url><loc>http://h%d.example.com/p2</loc>"
+            "<lastmod>2024-02-%02d</lastmod></url></urlset>",
+            F.col("id"),
+            F.pmod(F.col("id"), F.lit(28)) + 1,
+            F.col("id"),
+            F.col("id"),
+            F.pmod(F.col("id"), F.lit(28)) + 1,
+        ).alias("sitemap_xml"),
+    )
+    return sitemap_seeds(df)
+
+
 def q_robots_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-delay → per-host politeness budget: parse the UA-* group's
     Crawl-delay (distractor delays in other groups must NOT leak) and
@@ -1606,6 +1632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_semi_join": q_robots_semi_join,
         "robots_parse": q_robots_parse,
         "robots_crawl_delay": q_robots_crawl_delay,
+        "sitemap_seeds": q_sitemap_seeds,
         "politeness_topk": q_politeness_topk,
         "host_budget": q_host_budget,
         "frontier_union": q_frontier_union,
@@ -2091,6 +2118,16 @@ FROM documents a LEFT JOIN documents b ON b.doc_id = a.doc_id + 1""",
             "SELECT c_custkey, c_acctbal FROM customer c WHERE EXISTS "
             "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
         ),
+        "sitemap_seeds": """
+SELECT 'h' || i || '.example.com' AS host,
+       CASE s WHEN 0 THEN 'http://h' || i || '.example.com/p0'
+              WHEN 1 THEN 'http://h' || i || '.example.com/p1'
+              ELSE 'http://h' || i || '.example.com/p2' END AS url,
+       CASE s WHEN 0 THEN '2024-01-' || lpad(CAST(i % 28 + 1 AS VARCHAR), 2, '0')
+              WHEN 1 THEN NULL
+              ELSE '2024-02-' || lpad(CAST(i % 28 + 1 AS VARCHAR), 2, '0') END AS lastmod,
+       CAST(s AS INT) AS seq
+FROM range(30) t(i), range(3) u(s)""",
         "robots_crawl_delay": """
 SELECT 'h' || i || '.example.com' AS host,
        CASE WHEN i % 5 > 0 THEN CAST(i % 5 AS INT) END AS crawl_delay,

@@ -2,3 +2,4 @@
 engine meets in the wild."""
 
 from crawler_spark.sources.warc import read_warc  # noqa: F401
+from crawler_spark.sources.sitemap import sitemap_entries_expr, sitemap_seeds  # noqa: F401
