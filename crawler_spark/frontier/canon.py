@@ -417,3 +417,44 @@ def outlinks_expr(url_col: Column, html_col: Column) -> Column:
     codegen instead of Python memory bandwidth."""
     hrefs = F.regexp_extract_all(html_col.cast("string"), F.lit(HREF_PATTERN_JAVA), 1)
     return _links_from_hrefs_udf(url_col, hrefs)
+
+
+def resolve_redirects(
+    frontier: DataFrame,
+    redirects: DataFrame,
+    url_col: str = "url_canon",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Follow redirect chains before the fetch join, bounded at
+    ``max_hops`` — the declarative twin of the reference's silent
+    redirect-following (Go's ``http.Get`` chases up to 10 redirects
+    inside the fetch call, /root/reference/util.go:37-52; our fetch is an
+    equi-join, so redirects become joins too).
+
+    ``redirects(src, dst)`` is the corpus's redirect edge table. Each hop
+    is one left join: URLs with no redirect row keep their current value;
+    a longer-than-max_hops chain (or a cycle) stops where the budget runs
+    out, matching an HTTP client's redirect cap. Output: the frontier
+    with ``url_final`` plus ``n_hops`` taken.
+
+    Scale: the redirect table is a fraction of the corpus → hash join on
+    the url key each hop, max_hops bounded small (browsers use 10-20);
+    at 10^10 URLs each hop is one keys-only shuffle. No Python.
+    """
+    cur = frontier.withColumn("url_final", F.col(url_col)).withColumn(
+        "n_hops", F.lit(0)
+    )
+    r = redirects.select(F.col("src").alias("_rsrc"), F.col("dst").alias("_rdst"))
+    for _ in range(max_hops):
+        cur = (
+            cur.join(r, cur.url_final == r._rsrc, "left")
+            .withColumn(
+                "n_hops",
+                F.when(F.col("_rdst").isNotNull(), F.col("n_hops") + 1).otherwise(
+                    F.col("n_hops")
+                ),
+            )
+            .withColumn("url_final", F.coalesce("_rdst", "url_final"))
+            .drop("_rsrc", "_rdst")
+        )
+    return cur

@@ -379,3 +379,25 @@ def test_authority_priorities_bands_by_rank(spark):
     # determinism: a second run bands identically
     again = {r["host"]: r["priority"] for r in authority_priorities(edges, bands=3).collect()}
     assert again == got
+
+
+def test_resolve_redirects_chains_cycles_and_caps(spark):
+    from crawler_spark.frontier.canon import resolve_redirects
+
+    frontier = spark.createDataFrame(
+        [("a",), ("b",), ("x",), ("c1",)], "url_canon string"
+    )
+    redirects = spark.createDataFrame(
+        [("a", "a2"), ("a2", "a3"), ("b", "b2"),
+         ("c1", "c2"), ("c2", "c1")],  # 2-cycle
+        "src string, dst string",
+    )
+    got = {
+        r["url_canon"]: (r["url_final"], r["n_hops"])
+        for r in resolve_redirects(frontier, redirects, max_hops=3).collect()
+    }
+    assert got["a"] == ("a3", 2)      # chain fully followed
+    assert got["b"] == ("b2", 1)
+    assert got["x"] == ("x", 0)       # no redirect row: unchanged
+    # cycle: hops exhaust the budget, final = wherever the cap landed
+    assert got["c1"][1] == 3 and got["c1"][0] in ("c1", "c2")
