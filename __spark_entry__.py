@@ -298,6 +298,34 @@ def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("host", F.col("pos").cast("int").alias("pos"), "prefix")
 
 
+def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction WITH anchor text (the ranking signal the
+    href-only crawl op drops): aligned regexp_extract_all passes zipped
+    into struct<href,anchor>, inner markup tag-stripped — all codegen.
+    Synthesized HTML: nested tags in the anchor, an href-less <a>, and
+    an external link per page."""
+    from crawler_spark.frontier.canon import anchor_texts_expr
+
+    df = spark.range(25).select(
+        F.col("id").alias("page_id"),
+        F.format_string(
+            '<p>intro</p><a href="/p%d" class="c">First <b>Link</b> %d</a>'
+            '<a name="x">no href</a><a href="http://ext%d.com/z">ext</a>',
+            F.col("id"),
+            F.col("id"),
+            F.col("id"),
+        ).alias("html"),
+    )
+    return df.select(
+        "page_id", F.posexplode(anchor_texts_expr(F.col("html"))).alias("pos", "a")
+    ).select(
+        "page_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("a.href").alias("href"),
+        F.col("a.anchor").alias("anchor"),
+    )
+
+
 def q_sitemap_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap XML → ordered frontier seeds. Synthesized sitemaps with 3
     URLs per host (middle one lastmod-less and whitespace-padded),
@@ -1633,6 +1661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_parse": q_robots_parse,
         "robots_crawl_delay": q_robots_crawl_delay,
         "sitemap_seeds": q_sitemap_seeds,
+        "anchor_texts": q_anchor_texts,
         "politeness_topk": q_politeness_topk,
         "host_budget": q_host_budget,
         "frontier_union": q_frontier_union,
@@ -2118,6 +2147,21 @@ FROM documents a LEFT JOIN documents b ON b.doc_id = a.doc_id + 1""",
             "SELECT c_custkey, c_acctbal FROM customer c WHERE EXISTS "
             "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
         ),
+        "anchor_texts": r"""
+WITH r AS (
+  SELECT i AS page_id,
+         '<p>intro</p><a href="/p' || i || '" class="c">First <b>Link</b> ' || i ||
+         '</a><a name="x">no href</a><a href="http://ext' || i || '.com/z">ext</a>'
+           AS html
+  FROM range(25) t(i)),
+x AS (
+  SELECT page_id,
+         regexp_extract_all(html, '(?is)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>', 1) AS hs,
+         regexp_extract_all(html, '(?is)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>', 2) AS ts
+  FROM r)
+SELECT page_id, CAST(p - 1 AS INT) AS pos, hs[p] AS href,
+       trim(regexp_replace(ts[p], '<[^>]*>', ' ', 'g')) AS anchor
+FROM x, UNNEST(range(1, len(hs) + 1)) u(p)""",
         "sitemap_seeds": """
 SELECT 'h' || i || '.example.com' AS host,
        CASE s WHEN 0 THEN 'http://h' || i || '.example.com/p0'

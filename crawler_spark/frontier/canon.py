@@ -458,3 +458,28 @@ def resolve_redirects(
             .drop("_rsrc", "_rdst")
         )
     return cur
+
+
+_ANCHOR_RE = r'(?is)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>'
+
+
+def anchor_texts_expr(html_col: Column) -> Column:
+    """``array<struct<href,anchor>>`` of a page's links WITH their anchor
+    text — the classic relevance signal anchor-text ranking feeds on
+    (the crawl's outlink op keeps only hrefs; this is its enriched twin).
+
+    Two aligned ``regexp_extract_all`` passes over the same anchor
+    pattern (group 1 = href, group 2 = inner text), zipped — all codegen,
+    no HTML parse: for the ranking signal, tag-stripped inner text is the
+    accepted approximation (nested markup inside <a> is stripped, not
+    parsed). Document order preserved.
+    """
+    pat = F.lit(_ANCHOR_RE)
+    hrefs = F.regexp_extract_all(html_col, pat, 1)
+    texts = F.regexp_extract_all(html_col, pat, 2)
+    strip_tags = lambda t: F.trim(F.regexp_replace(t, r"<[^>]*>", " "))  # noqa: E731
+    return F.zip_with(
+        hrefs,
+        texts,
+        lambda h, t: F.struct(h.alias("href"), strip_tags(t).alias("anchor")),
+    )
