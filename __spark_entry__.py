@@ -793,6 +793,22 @@ def q_small_qty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lineitem_stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family (corr / covar_samp / stddev_samp) per
+    return flag — the one-pass moment sketches every profiler needs; all
+    are single-shuffle partial-aggregable. Rounded to 6 d.p.: the moment
+    sums are order-sensitive in the last ulps and the rounding pins the
+    cross-engine value far inside the drift margin."""
+    li = _t(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr(q, p), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp(q, p), 6).alias("covar_qty_price"),
+        F.round(F.stddev_samp(q), 6).alias("sd_qty"),
+    )
+
+
 def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated MIN subquery (TPC-H Q2 shape, adapted: lineitem stands in
     for partsupp): for every part, the supplier(s) offering its minimum
@@ -1692,6 +1708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_orders_by_priority": q_returned_orders_by_priority,
         "small_qty_part_revenue": q_small_qty_part_revenue,
         "min_cost_supplier": q_min_cost_supplier,
+        "lineitem_stats_by_flag": q_lineitem_stats_by_flag,
         "large_volume_orders": q_large_volume_orders,
         "sole_returned_supplier": q_sole_returned_supplier,
         "customer_order_distribution": q_customer_order_distribution,
@@ -2272,6 +2289,12 @@ SELECT p_brand,
 FROM lineitem JOIN pq USING (l_partkey) JOIN part ON l_partkey = p_partkey
 WHERE CAST(l_quantity AS DECIMAL(18,2)) * 2 * n_li < sum_qty
 GROUP BY p_brand""",
+        "lineitem_stats_by_flag": """
+SELECT l_returnflag, count(*) AS n,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qty_price,
+       round(stddev_samp(l_quantity), 6) AS sd_qty
+FROM lineitem GROUP BY l_returnflag""",
         "min_cost_supplier": """
 WITH offers AS (
   SELECT DISTINCT l_partkey, l_suppkey,

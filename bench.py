@@ -44,6 +44,7 @@ HEADLINE = [
     "host_budget",
     "frontier_union",
     "pricing_summary",
+    "lineitem_stats_by_flag",
     "top_revenue_orders",
     "region_rollup",
     "distinct_users",
