@@ -793,6 +793,26 @@ def q_small_qty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit irregular GROUPING SETS — (type, hour), (type), ()  but NOT
+    (hour): the asymmetric shape neither ROLLUP nor CUBE expresses, plus
+    `grouping()` null-vs-subtotal disambiguation. Exercised through the
+    SQL surface (spark.sql); one pass, Expand operator underneath."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("ev_gs")
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(hour(ts) AS INT) AS hr,
+               grouping(event_type) AS g_type,
+               grouping(hour(ts)) AS g_hr,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM ev_gs
+        GROUP BY GROUPING SETS ((event_type, hour(ts)), (event_type), ())
+        """
+    )
+
+
 def q_lineitem_stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregate family (corr / covar_samp / stddev_samp) per
     return flag — the one-pass moment sketches every profiler needs; all
@@ -1709,6 +1729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_qty_part_revenue": q_small_qty_part_revenue,
         "min_cost_supplier": q_min_cost_supplier,
         "lineitem_stats_by_flag": q_lineitem_stats_by_flag,
+        "events_grouping_sets": q_events_grouping_sets,
         "large_volume_orders": q_large_volume_orders,
         "sole_returned_supplier": q_sole_returned_supplier,
         "customer_order_distribution": q_customer_order_distribution,
@@ -2289,6 +2310,15 @@ SELECT p_brand,
 FROM lineitem JOIN pq USING (l_partkey) JOIN part ON l_partkey = p_partkey
 WHERE CAST(l_quantity AS DECIMAL(18,2)) * 2 * n_li < sum_qty
 GROUP BY p_brand""",
+        "events_grouping_sets": """
+SELECT event_type,
+       CAST(EXTRACT(hour FROM ts) AS INT) AS hr,
+       CAST(grouping(event_type) AS TINYINT) AS g_type,
+       CAST(grouping(EXTRACT(hour FROM ts)) AS TINYINT) AS g_hr,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY GROUPING SETS ((event_type, EXTRACT(hour FROM ts)), (event_type), ())""",
         "lineitem_stats_by_flag": """
 SELECT l_returnflag, count(*) AS n,
        round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
