@@ -974,6 +974,202 @@ def q_doc_rank_in_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _revenue_expr():
+    """Shared decimal-exact revenue term: extendedprice * (1 - discount)."""
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+
+
+def q_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: volume shipped between a symmetric nation PAIR, with
+    the OR-of-conjunctions pair predicate and a derived year() group key.
+    Supplier+nation dims broadcast; the fact chain (lineitem⋈orders⋈customer)
+    shuffles once per key — the pair filter runs after the joins because it
+    spans both sides, but the shipdate range IS pushed into the lineitem scan."""
+    nation = _t(spark, sf_dir, "nation")
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    sdim = F.broadcast(
+        supp.join(nation, supp.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cnation = F.broadcast(
+        nation.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(cnation, cust.c_nationkey == F.col("cn_key"))
+        .join(sdim, li.l_suppkey == F.col("s_suppkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.sum(_revenue_expr()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregation ratio (share of revenue from
+    PROMO-type parts in one year). Both the promo and total sums stay DECIMAL
+    to the end; the single ÷ happens on the final doubles (IEEE ÷ is correctly
+    rounded, so the share is bit-identical across engines). part is a
+    broadcast dim — the only shuffle is the final 1-row aggregate."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01")) & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = _revenue_expr()
+    joined = li.join(
+        F.broadcast(part.select("p_partkey", "p_type")), li.l_partkey == F.col("p_partkey")
+    )
+    return joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev)).cast("double").alias("promo_revenue"),
+        F.sum(rev).cast("double").alias("total_revenue"),
+    ).select(
+        "promo_revenue",
+        "total_revenue",
+        (F.col("promo_revenue") / F.col("total_revenue")).alias("promo_share"),
+    )
+
+
+def q_order_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: CASE-conditional counts (urgent vs non-urgent order
+    priority) per line status. Counts, not sums-of-1: DuckDB widens integer
+    SUM to HUGEINT while COUNT stays BIGINT on both engines. The orders side
+    carries only (key, priority) into the join; the shipdate filter is pushed
+    into the lineitem scan."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(urgent, F.lit(1))).alias("high_line_count"),
+            F.count(F.when(~urgent, F.lit(1))).alias("low_line_count"),
+        )
+    )
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: HAVING against a GLOBAL scalar aggregate — parts whose
+    total lineitem value exceeds 1.2× the mean part value (scale-free, unlike
+    Q11's 0.0001/SF fraction, so the gate stays non-empty at every SF). The
+    global (total, n_parts) is a 1-row aggregate broadcast into a cross join
+    (never a correlated rescan), and the threshold compare is division-free
+    (`pv * np * 5 > tv * 6`) so both engines compare exact DECIMALs."""
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    per_part = li.groupBy("l_partkey").agg(F.sum(price).alias("pv"))
+    total = per_part.agg(F.sum("pv").alias("tv"), F.count(F.lit(1)).alias("np"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("pv") * F.col("np") * F.lit(5) > F.col("tv") * F.lit(6))
+        .select("l_partkey", F.col("pv").cast("double").alias("part_value"))
+    )
+
+
+def q_top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: argmax over an aggregate — the supplier(s) with the
+    maximum revenue in a half-year window, ties kept. The max is a broadcast
+    1-row aggregate and the equality compare happens on exact DECIMALs, so
+    tie membership cannot flip across engines; only the final display value
+    is cast to double."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01")) & (F.col("l_shipdate") < F.lit("1997-07-01"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev_per_supp = li.groupBy("l_suppkey").agg(F.sum(_revenue_expr()).alias("total_rev"))
+    mx = rev_per_supp.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev_per_supp.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_name")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue"))
+    )
+
+
+def q_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: COUNT(DISTINCT) per part attribute after a NOT-IN
+    supplier exclusion (left_anti on the excluded set — low-balance suppliers
+    stand in for the complaints list). lineitem⋈part is the partsupp stand-in;
+    part attrs are a broadcast dim. distinct-count shuffles once on the group
+    key with partial distinct-aggregation map-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size").isin(1, 5, 10, 15, 20, 25))
+    excluded = supp.filter(F.col("s_acctbal") < 1000).select("s_suppkey")
+    return (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(excluded), li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part.select("p_partkey", "p_brand", "p_size")), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-conjunctions predicate spanning both join sides
+    (brand × size × quantity bands). Catalyst extracts the common l_partkey
+    equi-key so this plans as a broadcast HASH join with the disjunction as a
+    post-join filter — never a nested-loop — and infers the quantity-band
+    union as a pushable lineitem range filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    cond = (
+        (F.col("p_brand") == "Brand#11")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 30)
+    ) | (
+        (F.col("p_brand") == "Brand#22")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 40)
+    )
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand", "p_size")), li.l_partkey == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.sum(_revenue_expr()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_returned_revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in a
+    half-year window. Fact chain shuffles on its keys; nation name is a
+    broadcast dim. The top-k ORDER BY is fully tiebroken (revenue desc,
+    custkey asc) and revenue is an exact-DECIMAL sum cast to double, so the
+    cut line is cross-engine stable."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01")) & (F.col("o_orderdate") < F.lit("1997-07-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_revenue_expr()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline
 # ---------------------------------------------------------------------------
@@ -1735,6 +1931,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_distribution": q_customer_order_distribution,
         "docs_lang_source_cube": q_docs_lang_source_cube,
         "doc_rank_in_source": q_doc_rank_in_source,
+        "nation_pair_volume": q_nation_pair_volume,
+        "promo_revenue_share": q_promo_revenue_share,
+        "order_priority_lines": q_order_priority_lines,
+        "important_parts": q_important_parts,
+        "top_supplier_by_revenue": q_top_supplier_by_revenue,
+        "supplier_count_by_part": q_supplier_count_by_part,
+        "disjunctive_part_revenue": q_disjunctive_part_revenue,
+        "returned_revenue_by_customer": q_returned_revenue_by_customer,
         # training-data pipeline
         "rule_cut_all": q_rule_cut_all,
         "dedup_keep_first": q_dedup_keep_first,
@@ -2602,6 +2806,93 @@ WHERE round(list_dot_product(a.v, b.v) /
             "SELECT 'http://docs/' || CAST(doc_id AS VARCHAR) AS url, "
             "text AS html FROM documents"
         ),
+        "nation_pair_volume": """
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+       OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3""",
+        "promo_revenue_share": """
+WITH j AS (
+  SELECT p_type,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+), s AS (
+  SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev END) AS DOUBLE) AS promo_revenue,
+         CAST(sum(rev) AS DOUBLE) AS total_revenue
+  FROM j
+)
+SELECT promo_revenue, total_revenue, promo_revenue / total_revenue AS promo_share FROM s""",
+        "order_priority_lines": """
+SELECT l_linestatus,
+       count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_line_count,
+       count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+GROUP BY l_linestatus""",
+        "important_parts": """
+WITH per_part AS (
+  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS pv FROM lineitem GROUP BY l_partkey
+), total AS (
+  SELECT sum(pv) AS tv, count(*) AS np FROM per_part
+)
+SELECT l_partkey, CAST(pv AS DOUBLE) AS part_value
+FROM per_part, total WHERE pv * np * 5 > tv * 6""",
+        "top_supplier_by_revenue": """
+WITH rps AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-07-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+FROM rps JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM rps)""",
+        "supplier_count_by_part": """
+SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_size IN (1, 5, 10, 15, 20, 25)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+GROUP BY p_brand, p_size""",
+        "disjunctive_part_revenue": """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 30)
+   OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40)""",
+        "returned_revenue_by_customer": """
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= '1997-01-01' AND o_orderdate < '1997-07-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20""",
         "orders_month_seasonality": """
 SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
        CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,

@@ -88,6 +88,14 @@ HEADLINE = [
     "large_volume_orders",
     "sole_returned_supplier",
     "customer_order_distribution",
+    "nation_pair_volume",
+    "promo_revenue_share",
+    "order_priority_lines",
+    "important_parts",
+    "top_supplier_by_revenue",
+    "supplier_count_by_part",
+    "disjunctive_part_revenue",
+    "returned_revenue_by_customer",
     "docs_lang_source_cube",
     "doc_rank_in_source",
     "orders_month_seasonality",

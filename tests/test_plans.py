@@ -224,3 +224,29 @@ def test_semantic_dedup_pair_join_is_equi_on_cluster(spark, sf001_dir):
     out = sim.semantic_dedup(emb, "vec_id", "embedding", n_centroids=4, threshold=0.35)
     plan = _plan(out)
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_disjunctive_predicate_joins_hash_not_nested_loop(spark, sf001_dir):
+    """Q19 shape: the OR-of-conjunctions spans both join sides, but the
+    common l_partkey equi-key must still plan as a (broadcast) hash join
+    with the disjunction as a residual filter — BroadcastNestedLoopJoin
+    here is O(lineitem × part) at scale."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.q_disjunctive_part_revenue(spark, sf001_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_global_scalar_threshold_is_broadcast_not_rescanned(spark, sf001_dir):
+    """Q11 shape: the global (total, n_parts) 1-row aggregate must enter
+    the compare as a broadcast into the cross join, and the ONLY
+    SinglePartition exchange is the one feeding that scalar aggregate —
+    the part-sized side stays hash-partitioned on l_partkey throughout
+    (the twin l_partkey exchanges are runtime-reused by AQE exchange reuse)."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.q_important_parts(spark, sf001_dir))
+    assert "BroadcastExchange" in plan, plan
+    assert plan.count("SinglePartition") == 1, plan
+    assert "hashpartitioning(l_partkey" in plan, plan
