@@ -1170,6 +1170,25 @@ def q_returned_revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q_lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT — wide measure columns to long (measure, value) rows, then
+    re-aggregated per (flag, measure). The inverse of `events_type_pivot`:
+    together they close the reshape family. Spark's native `unpivot` plans
+    as a single Expand (one scan, rows×3 map-side, no join); the oracle is
+    the portable UNION ALL spelling of the same thing."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.sum(F.col("val").cast("decimal(18,2)")).cast("double").alias("sum_val"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline
 # ---------------------------------------------------------------------------
@@ -1939,6 +1958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_count_by_part": q_supplier_count_by_part,
         "disjunctive_part_revenue": q_disjunctive_part_revenue,
         "returned_revenue_by_customer": q_returned_revenue_by_customer,
+        "lineitem_measures_unpivot": q_lineitem_measures_unpivot,
         # training-data pipeline
         "rule_cut_all": q_rule_cut_all,
         "dedup_keep_first": q_dedup_keep_first,
@@ -2893,6 +2913,16 @@ WHERE l_returnflag = 'R'
 GROUP BY c_custkey, c_name, n_name
 ORDER BY revenue DESC, c_custkey ASC
 LIMIT 20""",
+        "lineitem_measures_unpivot": """
+SELECT l_returnflag, measure,
+       CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS sum_val,
+       count(*) AS n
+FROM (
+  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+  UNION ALL SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+)
+GROUP BY l_returnflag, measure""",
         "orders_month_seasonality": """
 SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
        CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,

@@ -96,6 +96,7 @@ HEADLINE = [
     "supplier_count_by_part",
     "disjunctive_part_revenue",
     "returned_revenue_by_customer",
+    "lineitem_measures_unpivot",
     "docs_lang_source_cube",
     "doc_rank_in_source",
     "orders_month_seasonality",
