@@ -1232,19 +1232,18 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(dd.shingles_expr(F.col("text"), 3)).alias("shingle"))
         .distinct()
     )
+    # explode_outer keeps gram-less docs (they get a null shingle → no hit),
+    # so the per-doc max(hit) aggregate covers EVERY non-bench doc and the
+    # flag needs neither a distinct nor a re-join against documents: one
+    # broadcast probe + one partial-aggregable shuffle, two scans total
+    # (the old semi-join + distinct + left-join form scanned docs 3×).
     grams = docs.filter(~is_bench).select(
-        "doc_id", F.explode(dd.shingles_expr(F.col("text"), 3)).alias("shingle")
-    )
-    contaminated = (
-        grams.join(F.broadcast(bench_grams), "shingle", "left_semi")
-        .select("doc_id")
-        .distinct()
+        "doc_id", F.explode_outer(dd.shingles_expr(F.col("text"), 3)).alias("shingle")
     )
     return (
-        docs.filter(~is_bench)
-        .select("doc_id")
-        .join(contaminated.withColumn("contaminated", F.lit(True)), "doc_id", "left")
-        .select("doc_id", F.coalesce("contaminated", F.lit(False)).alias("contaminated"))
+        grams.join(F.broadcast(bench_grams.withColumn("hit", F.lit(1))), "shingle", "left")
+        .groupBy("doc_id")
+        .agg((F.max(F.coalesce(F.col("hit"), F.lit(0))) == 1).alias("contaminated"))
     )
 
 

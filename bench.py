@@ -17,6 +17,8 @@ Env knobs:
   BENCH_URLS           kernel frontier size (default 1000000)
   BENCH_ONLY           comma list: restrict to these query names
   BENCH_SKIP_KERNEL    "1" → skip the frontier-round kernel
+  BENCH_NO_STAGE       "1" → read the raw single-file tables directly
+                       (default stages a multi-file copy; see stage_inputs)
 """
 
 from __future__ import annotations
@@ -155,23 +157,57 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def stage_inputs(spark, src_dir: str, cpus: int) -> str:
+    """Re-layout the test tables into a multi-file parquet copy (once).
+
+    The driver-generated sf* tables are each ONE parquet file with ONE row
+    group, so every scan — and the whole codegen map stage above it
+    (explodes, shingle building, filters, partial aggregates) — runs as a
+    single task until the first exchange, no matter how many cores exist.
+    That is a small-scale artifact: the 100-TB regime this engine targets
+    reads thousands of files/row-groups per table (and the kernel bench
+    already stages its corpus in 128 buckets for the same reason). Staging
+    writes each table once as `cpus` files under /tmp so scans parallelize;
+    queries and data are unchanged. Skip with BENCH_NO_STAGE=1.
+    """
+    import glob
+    import tempfile
+
+    n_files = int(os.environ.get("BENCH_STAGE_FILES", "0")) or max(4, cpus // 4)
+    tag = os.path.basename(os.path.normpath(src_dir))
+    staged = os.path.join(tempfile.gettempdir(), f"spark_graft_staged_{tag}_{n_files}")
+    marker = os.path.join(staged, "_STAGED_OK")
+    if not os.path.exists(marker):
+        for p in sorted(glob.glob(os.path.join(src_dir, "*.parquet"))):
+            (
+                spark.read.parquet(p)
+                .repartition(n_files)
+                .write.mode("overwrite")
+                .parquet(os.path.join(staged, os.path.basename(p)))
+            )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return staged
+
+
 def main() -> int:
     import __spark_entry__ as E
 
     only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
     spark = make_spark(CPUS)
+    sf_dir = SF_DIR if os.environ.get("BENCH_NO_STAGE") == "1" else stage_inputs(spark, SF_DIR, CPUS)
     qs = E.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if only and name not in only:
             continue
         fn = qs[name]
-        df = fn(spark, SF_DIR)  # build (untimed)
+        df = fn(spark, sf_dir)  # build (untimed)
         force(df)  # warm JIT/readers once
         best = float("inf")
         for _ in range(2):  # best-of-2: VM wall-time noise (see BENCH.md)
             t0 = time.monotonic()
-            force(fn(spark, SF_DIR))
+            force(fn(spark, sf_dir))
             best = min(best, time.monotonic() - t0)
         timings[name] = round(best, 3)
         # queries that persist() intermediates return lazy frames, so they

@@ -223,3 +223,44 @@ def filter_unseen(
     maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     survivors = maybe.join(seen.select(*key), key, "left_anti")
     return definitely_new.unionByName(survivors)
+
+
+# ---------------------------------------------------------------------------
+# mergeable distinct-URL counters (HLL sketches)
+# ---------------------------------------------------------------------------
+
+def round_url_sketches(
+    frontier: DataFrame,
+    round_col: str = "round",
+    url_col: str = "url_canon",
+    lg_k: int = 14,
+) -> DataFrame:
+    """Per-round HLL sketch of distinct URLs: ``(round, url_sketch)``.
+
+    The lineage-metrics analog of ``approx_count_distinct`` that actually
+    composes across rounds: a count can't be merged (distincts overlap),
+    a Datasketches HLL sketch can — union N rounds' sketches and estimate
+    once, without rescanning any round's frontier. At 10^10 URLs the exact
+    distinct needs a full shuffle of the seen table; the sketch is one
+    partial-aggregable pass, 2^lg_k bytes of state per round, and the
+    union is driver-cheap. lg_k=14 → ~0.8% relative standard error.
+    """
+    return frontier.groupBy(round_col).agg(
+        F.hll_sketch_agg(F.col(url_col), F.lit(lg_k)).alias("url_sketch")
+    )
+
+
+def union_sketch_estimate(sketches: DataFrame, sketch_col: str = "url_sketch") -> DataFrame:
+    """Union per-round sketches → 1-row ``(approx_distinct_urls)`` estimate.
+
+    ``hll_union_agg`` merges sketch registers losslessly (same lg_k), so
+    unioning round sketches gives EXACTLY the sketch of the concatenated
+    rounds — the estimate is identical to re-sketching all rounds' URLs in
+    one pass, which the companion test pins.
+    """
+    return (
+        sketches.agg(F.hll_union_agg(F.col(sketch_col)).alias("merged"))
+        .select(
+            F.hll_sketch_estimate("merged").alias("approx_distinct_urls"),
+        )
+    )

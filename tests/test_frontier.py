@@ -401,3 +401,23 @@ def test_resolve_redirects_chains_cycles_and_caps(spark):
     assert got["x"] == ("x", 0)       # no redirect row: unchanged
     # cycle: hops exhaust the budget, final = wherever the cap landed
     assert got["c1"][1] == 3 and got["c1"][0] in ("c1", "c2")
+
+
+def test_round_url_sketches_merge_equals_one_pass_and_bounds_error(spark):
+    """Unioning per-round HLL sketches must give EXACTLY the one-pass
+    sketch's estimate (register merge is lossless at equal lg_k), and the
+    estimate must sit within the lg_k=14 error envelope (~0.8% RSE; assert
+    a generous 3%) of the exact distinct count."""
+    from crawler_spark.frontier.seen import round_url_sketches, union_sketch_estimate
+
+    df = spark.range(0, 60_000).select(
+        (F.col("id") % 3).alias("round"),
+        F.concat(F.lit("http://h"), (F.col("id") % 40_000).cast("string")).alias("url_canon"),
+    )
+    merged_est = union_sketch_estimate(round_url_sketches(df)).collect()[0][0]
+    one_pass = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("url_canon", F.lit(14)))
+    ).collect()[0][0]
+    assert merged_est == one_pass
+    exact = df.select("url_canon").distinct().count()
+    assert abs(merged_est - exact) / exact < 0.03
