@@ -1170,6 +1170,124 @@ def q_returned_revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q_discount_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure scan-filter-aggregate — revenue that WOULD
+    have been earned in a discount band. Every predicate (date range,
+    discount band, quantity cap) pushes into the parquet scan, so at 100 TB
+    this is min/max row-group skipping + one partial-aggregated scalar; the
+    band compare runs on exact DECIMALs so no float-boundary row flips."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            & (disc >= F.lit("0.05").cast("decimal(18,2)"))
+            & (disc <= F.lit("0.07").cast("decimal(18,2)"))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * disc)
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: market share — the fraction of each year's total
+    revenue supplied by one nation, i.e. a grouped conditional-aggregation
+    ratio. Both sums stay DECIMAL through the shuffle; the one ÷ per group
+    happens on the final doubles (IEEE ÷, bit-stable cross-engine).
+    supplier⋈nation is a broadcast dim; facts shuffle once."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    sdim = F.broadcast(
+        supp.join(nation, supp.s_nationkey == nation.n_nationkey).select(
+            "s_suppkey", F.col("n_name").alias("supp_nation")
+        )
+    )
+    rev = _revenue_expr()
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(sdim, li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_1", rev)).cast("double").alias("nation_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+        .select(
+            "o_year",
+            "nation_revenue",
+            "total_revenue",
+            (F.col("nation_revenue") / F.col("total_revenue")).alias("mkt_share"),
+        )
+    )
+
+
+def q_product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per (nation, year) over a part-name LIKE
+    filter, with the amount expression spanning three tables (revenue minus
+    retail cost — p_retailprice stands in for the absent ps_supplycost).
+    part and supplier⋈nation broadcast; the name filter prunes the part dim
+    BEFORE the broadcast, shrinking the build side, and the arithmetic stays
+    DECIMAL until the final cast."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    sdim = F.broadcast(
+        supp.join(nation, supp.s_nationkey == nation.n_nationkey).select(
+            "s_suppkey", F.col("n_name").alias("nation_name")
+        )
+    )
+    amount = _revenue_expr() - F.col("p_retailprice").cast("decimal(18,2)") * F.col(
+        "l_quantity"
+    ).cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_retailprice")), li.l_partkey == F.col("p_partkey"))
+        .join(sdim, li.l_suppkey == F.col("s_suppkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("nation_name", F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+def q_major_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested-IN chain over a correlated share threshold —
+    suppliers who shipped more than 2.5× the average supplier's share of
+    some LARGE part (p_size >= 48; share-of-total is scale-free where Q20's
+    literal half-sum empties out as supplier count grows). Decorrelated:
+    per-(part,supplier) sums re-join per-part totals (both partial-
+    aggregable, keys co-partition on l_partkey so the second join reuses
+    the exchange), the division-free `2*ss*ns > 5*tq` compare runs on exact
+    DECIMALs, and the supplier list lands as a left_semi (never duplicates,
+    no distinct needed after the semi)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 48)
+    supp = _t(spark, sf_dir, "supplier")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    big = li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+    per_ps = big.groupBy("l_partkey", "l_suppkey").agg(F.sum(qty).alias("ss"))
+    per_part = per_ps.groupBy("l_partkey").agg(
+        F.sum("ss").alias("tq"), F.count(F.lit(1)).alias("ns")
+    )
+    major = (
+        per_ps.join(per_part, "l_partkey")
+        .filter(F.col("ss") * F.col("ns") * F.lit(2) > F.col("tq") * F.lit(5))
+        .select("l_suppkey")
+    )
+    return supp.join(major, supp.s_suppkey == F.col("l_suppkey"), "left_semi").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+
+
 def q_lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT — wide measure columns to long (measure, value) rows, then
     re-aggregated per (flag, measure). The inverse of `events_type_pivot`:
@@ -1958,6 +2076,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_part_revenue": q_disjunctive_part_revenue,
         "returned_revenue_by_customer": q_returned_revenue_by_customer,
         "lineitem_measures_unpivot": q_lineitem_measures_unpivot,
+        "discount_band_revenue": q_discount_band_revenue,
+        "nation_market_share": q_nation_market_share,
+        "product_profit_by_nation": q_product_profit_by_nation,
+        "major_part_suppliers": q_major_part_suppliers,
         # training-data pipeline
         "rule_cut_all": q_rule_cut_all,
         "dedup_keep_first": q_dedup_keep_first,
@@ -2912,6 +3034,68 @@ WHERE l_returnflag = 'R'
 GROUP BY c_custkey, c_name, n_name
 ORDER BY revenue DESC, c_custkey ASC
 LIMIT 20""",
+        "discount_band_revenue": """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+  AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN CAST(0.05 AS DECIMAL(18,2))
+                                            AND CAST(0.07 AS DECIMAL(18,2))
+  AND l_quantity < 24""",
+        "nation_market_share": """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       CAST(sum(CASE WHEN n_name = 'NATION_1'
+                THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) END)
+            AS DOUBLE) AS nation_revenue,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS total_revenue,
+       CAST(sum(CASE WHEN n_name = 'NATION_1'
+                THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) END)
+            AS DOUBLE)
+       / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+              AS DOUBLE) AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+GROUP BY 1""",
+        "product_profit_by_nation": """
+SELECT n_name AS nation_name,
+       CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)))
+            AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2""",
+        "major_part_suppliers": """
+WITH big AS (
+  SELECT l_partkey, l_suppkey, l_quantity
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_size >= 48
+), per_ps AS (
+  SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS ss
+  FROM big GROUP BY 1, 2
+), per_part AS (
+  SELECT l_partkey, sum(ss) AS tq, count(*) AS ns FROM per_ps GROUP BY 1
+)
+SELECT s_suppkey, s_name, s_nationkey
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM per_ps JOIN per_part USING (l_partkey)
+  WHERE ss * ns * 2 > tq * 5
+)""",
         "lineitem_measures_unpivot": """
 SELECT l_returnflag, measure,
        CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS sum_val,

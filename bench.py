@@ -99,6 +99,10 @@ HEADLINE = [
     "disjunctive_part_revenue",
     "returned_revenue_by_customer",
     "lineitem_measures_unpivot",
+    "discount_band_revenue",
+    "nation_market_share",
+    "product_profit_by_nation",
+    "major_part_suppliers",
     "docs_lang_source_cube",
     "doc_rank_in_source",
     "orders_month_seasonality",
