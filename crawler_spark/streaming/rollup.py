@@ -213,3 +213,40 @@ def host_budget_tws(
         outputMode="Append",
         timeMode="None",
     )
+
+
+def fetch_parse_stream_join(
+    fetches: DataFrame,
+    parses: DataFrame,
+    horizon: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each parse event matched to
+    the fetch that produced it, within ``horizon``.
+
+    ``(url, fetch_ts)`` ⋈ ``(url, parse_ts)`` with the range condition
+    ``fetch_ts <= parse_ts <= fetch_ts + horizon``. Both sides carry a
+    watermark AND the join condition bounds event time in BOTH directions —
+    that pair is what lets the state store evict: a buffered fetch row is
+    dropped once the parse-side watermark passes ``fetch_ts + horizon``, so
+    state is O(rate × horizon), never O(stream). Without the range bound
+    the join would be correct but its state unbounded — the difference
+    between a demo and something that survives a 10^10-URL feed.
+
+    Output: ``(url, fetch_ts, parse_ts, latency_sec)``, append mode.
+    """
+    f = fetches.select("url", "fetch_ts").withWatermark("fetch_ts", horizon)
+    p = parses.select(
+        F.col("url").alias("p_url"), "parse_ts"
+    ).withWatermark("parse_ts", horizon)
+    return f.join(
+        p,
+        (F.col("url") == F.col("p_url"))
+        & (F.col("parse_ts") >= F.col("fetch_ts"))
+        & (F.col("parse_ts") <= F.col("fetch_ts") + F.expr(f"interval {horizon}")),
+        "inner",
+    ).select(
+        "url",
+        "fetch_ts",
+        "parse_ts",
+        (F.unix_timestamp("parse_ts") - F.unix_timestamp("fetch_ts")).alias("latency_sec"),
+    )
