@@ -448,7 +448,13 @@ def crawl(
             F.count("*").alias("scheduled"),
             F.sum(F.col("fetched").cast("long")).alias("fetch_ok"),
         )
-        m_new = new_entries.groupBy("bucket").agg(F.count("*").alias("admitted"))
+        # url_sketch: per-bucket HLL of admitted URLs — mergeable lineage
+        # (hll_union_agg across any rounds/buckets → distinct-URL estimate
+        # with no rescan of any round's frontier; see frontier/seen.py)
+        m_new = new_entries.groupBy("bucket").agg(
+            F.count("*").alias("admitted"),
+            F.hll_sketch_agg(F.col("url_canon"), F.lit(12)).alias("url_sketch"),
+        )
         metrics = (
             m_sched.join(m_new, "bucket", "full")
             .select(
@@ -457,6 +463,7 @@ def crawl(
                 F.coalesce("scheduled", F.lit(0)).alias("scheduled"),
                 F.coalesce("fetch_ok", F.lit(0)).alias("fetch_ok"),
                 F.coalesce("admitted", F.lit(0)).alias("admitted"),
+                "url_sketch",
             )
         )
         _write_state(metrics, _ckpt(cfg, rnd, "metrics"))

@@ -157,3 +157,15 @@ def test_metrics_and_budget_invariant(spark, corpus, tmp_path_factory):
     # lineage counters add up: sum(scheduled) == schedule rows
     total = result.metrics.agg(F.sum("scheduled")).collect()[0][0]
     assert total == result.schedule.count()
+    # the mergeable distinct-URL lineage: unioning every (round, bucket)
+    # sketch estimates the seen-set size without rescanning any round.
+    # Admissions are exactly-once (seen filter), so exact == sum(admitted)
+    # == |seen| - |seeds already counted at round 0|; just compare against
+    # the true distinct count with the lg_k=12 error envelope (~1.6% RSE).
+    est = (
+        result.metrics.filter(F.col("url_sketch").isNotNull())
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("url_sketch")).alias("e"))
+        .collect()[0][0]
+    )
+    exact = result.metrics.agg(F.sum("admitted")).collect()[0][0]
+    assert abs(est - exact) / max(exact, 1) < 0.05
