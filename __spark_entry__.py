@@ -1288,6 +1288,51 @@ def q_major_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_price_qty_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregate family (regr_slope / regr_intercept /
+    regr_r2) per return flag — one-pass co-moment sketches, partial-
+    aggregable like the corr/covar family they extend. Rounded to 6 d.p.
+    for the same reason as `lineitem_stats_by_flag`: the moment sums are
+    order-sensitive in the last ulps."""
+    li = _t(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.regr_slope(p, q), 6).alias("slope"),
+        F.round(F.regr_intercept(p, q), 6).alias("intercept"),
+        F.round(F.regr_r2(p, q), 6).alias("r2"),
+    )
+
+
+def q_fuzzy_title_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching (record linkage): document 'titles' (first 32
+    chars) paired within an equality BLOCK (first 12 chars) and kept when
+    their Levenshtein distance <= 3. The block key turns an O(n²) all-pairs
+    edit-distance scan into an equi-join — the same blocking idea as LSH
+    banding, with the exact verifier inside the block; at 100 TB the block
+    join shuffles on the key and each block's pair fan-out is bounded by
+    block size, never corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    titled = docs.select(
+        "doc_id",
+        F.substring(F.col("text"), 1, 32).alias("title"),
+        F.substring(F.col("text"), 1, 12).alias("block"),
+    )
+    a = titled.select(
+        F.col("doc_id").alias("a_id"), F.col("title").alias("a_title"), "block"
+    )
+    b = titled.select(
+        F.col("doc_id").alias("b_id"), F.col("title").alias("b_title"), "block"
+    )
+    return (
+        a.join(b, "block")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("dist", F.levenshtein("a_title", "b_title"))
+        .filter(F.col("dist") <= 3)
+        .select("a_id", "b_id", "dist")
+    )
+
+
 def q_lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT — wide measure columns to long (measure, value) rows, then
     re-aggregated per (flag, measure). The inverse of `events_type_pivot`:
@@ -2080,6 +2125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_market_share": q_nation_market_share,
         "product_profit_by_nation": q_product_profit_by_nation,
         "major_part_suppliers": q_major_part_suppliers,
+        "price_qty_regression": q_price_qty_regression,
+        "fuzzy_title_pairs": q_fuzzy_title_pairs,
         # training-data pipeline
         "rule_cut_all": q_rule_cut_all,
         "dedup_keep_first": q_dedup_keep_first,
@@ -3096,6 +3143,22 @@ WHERE s_suppkey IN (
   SELECT l_suppkey FROM per_ps JOIN per_part USING (l_partkey)
   WHERE ss * ns * 2 > tq * 5
 )""",
+        "price_qty_regression": """
+SELECT l_returnflag,
+       count(*) AS n,
+       round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+FROM lineitem GROUP BY l_returnflag""",
+        "fuzzy_title_pairs": """
+WITH titled AS (
+  SELECT doc_id, substr(text, 1, 32) AS title, substr(text, 1, 12) AS block
+  FROM documents
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       levenshtein(a.title, b.title) AS dist
+FROM titled a JOIN titled b USING (block)
+WHERE a.doc_id < b.doc_id AND levenshtein(a.title, b.title) <= 3""",
         "lineitem_measures_unpivot": """
 SELECT l_returnflag, measure,
        CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS sum_val,

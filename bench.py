@@ -103,6 +103,8 @@ HEADLINE = [
     "nation_market_share",
     "product_profit_by_nation",
     "major_part_suppliers",
+    "price_qty_regression",
+    "fuzzy_title_pairs",
     "docs_lang_source_cube",
     "doc_rank_in_source",
     "orders_month_seasonality",
