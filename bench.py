@@ -183,8 +183,15 @@ def stage_inputs(spark, src_dir: str, cpus: int) -> str:
     tag = os.path.basename(os.path.normpath(src_dir))
     staged = os.path.join(tempfile.gettempdir(), f"spark_graft_staged_{tag}_{n_files}")
     marker = os.path.join(staged, "_STAGED_OK")
-    if not os.path.exists(marker):
-        for p in sorted(glob.glob(os.path.join(src_dir, "*.parquet"))):
+    sources = sorted(glob.glob(os.path.join(src_dir, "*.parquet")))
+    # fingerprint the sources so a regenerated testdata dir (new mtime/size)
+    # invalidates the cached copy instead of silently serving stale tables
+    fingerprint = "\n".join(
+        f"{os.path.basename(p)} {os.path.getsize(p)} {int(os.path.getmtime(p))}"
+        for p in sources
+    )
+    if not (os.path.exists(marker) and open(marker).read() == fingerprint):
+        for p in sources:
             (
                 spark.read.parquet(p)
                 .repartition(n_files)
@@ -192,7 +199,7 @@ def stage_inputs(spark, src_dir: str, cpus: int) -> str:
                 .parquet(os.path.join(staged, os.path.basename(p)))
             )
         with open(marker, "w") as f:
-            f.write("ok")
+            f.write(fingerprint)
     return staged
 
 
