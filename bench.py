@@ -32,7 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_URLS = int(os.environ.get("BENCH_URLS", "1000000"))
+BENCH_URLS = int(os.environ.get("BENCH_URLS", "6000000"))
 
 # headline set: every operator family, skipping only the quadratic
 # pair-joins whose output size (not engine speed) dominates at sf0.1
@@ -239,10 +239,18 @@ def main() -> int:
     if os.environ.get("BENCH_SKIP_KERNEL") != "1" and not only:
         from crawler_spark.benchmarks import frontier_round_kernel
 
+        # n_hosts scales with the frontier (1 host per 500 URLs, same rule as
+        # scripts/bench_scaling.py): with hosts FIXED, budget×hosts caps the
+        # schedulable set and scheduled/sec measures the politeness cap, not
+        # the engine. Round size default 6M: the ~12s flat per-round driver
+        # cost (PROFILE.md) dominates a 1M round and amortizes by 6M.
+        n_hosts = max(BENCH_URLS // 500, 1_000)
         # warm-up at 1/10 size (JIT, python worker pool), then best-of-3:
         # single measured runs are exposed to this VM's 3-5x wall-time noise
-        frontier_round_kernel(spark, n_urls=max(BENCH_URLS // 10, 10_000))
-        runs = [frontier_round_kernel(spark, n_urls=BENCH_URLS) for _ in range(3)]
+        frontier_round_kernel(spark, n_urls=max(BENCH_URLS // 10, 10_000), n_hosts=max(n_hosts // 10, 100))
+        runs = [
+            frontier_round_kernel(spark, n_urls=BENCH_URLS, n_hosts=n_hosts) for _ in range(3)
+        ]
         kernel = min(runs, key=lambda r: r["round_wall_sec"])
         timings["frontier_round"] = kernel["round_wall_sec"]
         result["frontier_round"] = kernel
