@@ -1597,6 +1597,43 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_csv(spark, path)
 
 
+def q_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-media ingestion: raw files on disk → binary column via Spark's
+    built-in `binaryFile` source — the step that turns an image/audio drop
+    directory into the multimodal table `pipeline/multimodal.py` operates
+    on. Emits (name, length, content_md5); the oracle derives the same
+    values from the documents table the payloads were built from (ASCII, so
+    md5-of-bytes == md5-of-string on both engines). At 100 TB this source
+    partitions by file and never reads a byte twice; the pathGlobFilter
+    prunes non-media files at listing time, before any task launches."""
+    import os as _os
+    import tempfile
+
+    rows = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 64)
+        .select("doc_id", F.substring("text", 1, 40).alias("prefix"))
+        .collect()
+    )
+    d = tempfile.mkdtemp(prefix="entry_media_")
+    for r in rows:
+        payload = f"media:{r['doc_id']}:{r['prefix']}"
+        with open(_os.path.join(d, f"doc_{r['doc_id']}.bin"), "wb") as fh:
+            fh.write(payload.encode("ascii"))
+    with open(_os.path.join(d, "ignore.txt"), "w") as fh:
+        fh.write("not media")  # proves the glob prunes at listing time
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(d)
+        .select(
+            F.element_at(F.split(F.col("path"), "/"), -1).alias("name"),
+            F.col("length").alias("length"),
+            F.md5(F.col("content")).alias("content_md5"),
+        )
+    )
+
+
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC source/sink roundtrip — typed columnar interchange (schema
     travels with the file; stripe statistics feed pushdown like parquet)."""
@@ -2150,6 +2187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "orc_roundtrip": q_orc_roundtrip,
         "warc_roundtrip": q_warc_roundtrip,
+        "binaryfile_ingest": q_binaryfile_ingest,
         "orders_month_seasonality": q_orders_month_seasonality,
         "user_event_sequence": q_user_event_sequence,
         "text_quality": q_text_quality,
@@ -2990,6 +3028,11 @@ WHERE round(list_dot_product(a.v, b.v) /
         ),
         "jsonl_roundtrip": "SELECT doc_id, source, n_chars FROM documents",
         "orc_roundtrip": "SELECT doc_id, source, n_chars FROM documents",
+        "binaryfile_ingest": """
+SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.bin' AS name,
+       CAST(length('media:' || CAST(doc_id AS VARCHAR) || ':' || substr(text, 1, 40)) AS BIGINT) AS length,
+       md5('media:' || CAST(doc_id AS VARCHAR) || ':' || substr(text, 1, 40)) AS content_md5
+FROM documents WHERE doc_id < 64""",
         "warc_roundtrip": (
             "SELECT 'http://docs/' || CAST(doc_id AS VARCHAR) AS url, "
             "text AS html FROM documents"
