@@ -1597,6 +1597,31 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_csv(spark, path)
 
 
+def q_shared_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring overlap via mod-sampled k-gram hashes
+    (the scale path toward suffix-array substring dedup, Lee et al. 2022):
+    each doc emits its DISTINCT token-trigram rolling hashes that are
+    0 (mod 16) — a deterministic ~6% sample that is a pure function of the
+    gram content, so two documents agree on the sample wherever their text
+    overlaps. Self-join on the sampled hash; every collision is an exact
+    shared-3-token-span witness. At 100 TB the join input is ~1/16 of the
+    gram stream, keys are uniform by construction (no skew), and the pair
+    fan-out is bounded by per-hash collision groups, never corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    sampled = docs.select(
+        "doc_id",
+        F.explode(ts.sampled_kgram_hashes_expr(F.col("text"), 3, 16)).alias("gh"),
+    )
+    a = sampled.select(F.col("doc_id").alias("a_id"), "gh")
+    b = sampled.select(F.col("doc_id").alias("b_id"), "gh")
+    return (
+        a.join(b, "gh")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
 def q_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-media ingestion: raw files on disk → binary column via Spark's
     built-in `binaryFile` source — the step that turns an image/audio drop
@@ -2188,6 +2213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_roundtrip": q_orc_roundtrip,
         "warc_roundtrip": q_warc_roundtrip,
         "binaryfile_ingest": q_binaryfile_ingest,
+        "shared_shingle_pairs": q_shared_shingle_pairs,
         "orders_month_seasonality": q_orders_month_seasonality,
         "user_event_sequence": q_user_event_sequence,
         "text_quality": q_text_quality,
@@ -2488,6 +2514,25 @@ SELECT doc_id,
     list_min(list_transform(range(1, len(vals) - 1), i -> {gram}))
   ELSE -1 END AS fp_kgram_min
 FROM v"""
+
+
+def _sql_shared_shingle_pairs(mod: int = 16) -> str:
+    B, M = ts.ROLL_BASE, ts.ROLL_MOD
+    v = f"('0x' || substr(md5(t), 1, 15))::BIGINT % {M}"
+    gram = f"(((vals[i] * {B} + vals[i+1]) % {M}) * {B} + vals[i+2]) % {M}"
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+v AS (SELECT doc_id, list_transform(toks, t -> {v}) AS vals FROM t),
+g AS (SELECT doc_id,
+        list_distinct(list_filter(
+          list_transform(range(1, len(vals) - 1), i -> {gram}),
+          h -> h % {mod} = 0)) AS ghs
+      FROM v WHERE len(vals) >= 3),
+s AS (SELECT doc_id, unnest(ghs) AS gh FROM g)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+FROM s a JOIN s b USING (gh)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2"""
 
 
 def _sql_quality_by_source() -> str:
@@ -3226,6 +3271,7 @@ FROM events GROUP BY user_id""",
         "text_quality": _sql_text_quality(),
         "lang_id": _sql_lang_id(),
         "doc_fingerprint": _sql_doc_fingerprint(),
+        "shared_shingle_pairs": _sql_shared_shingle_pairs(),
         "json_props_rollup": """
 SELECT event_type, count(*) AS n_events,
   sum(json_extract_string(props, '$.k')::INT)::BIGINT AS sum_k,

@@ -64,6 +64,7 @@ HEADLINE = [
     "span_dedup",
     "minhash_signatures",
     "simhash",
+    "shared_shingle_pairs",
     "ngram_jaccard",
     "embedding_topk",
     "semantic_dedup",

@@ -152,13 +152,10 @@ def rolling_fingerprint_expr(text: Column) -> Column:
     )
 
 
-def kgram_min_fingerprint_expr(text: Column, k: int = 3) -> Column:
-    """Winnowing-style fingerprint: the MIN of the rolling hashes of all
-    token ``k``-grams (the k-gram hash is the same polynomial as
-    :func:`rolling_fingerprint_expr`, evaluated per window). Robust to
-    prepended/appended boilerplate, which shifts the full-document hash but
-    leaves interior k-grams intact. Documents with fewer than ``k`` tokens
-    fingerprint as -1.
+def kgram_hashes_expr(text: Column, k: int = 3) -> Column:
+    """Array of rolling hashes of all token ``k``-grams of the text (same
+    polynomial as :func:`rolling_fingerprint_expr`, evaluated per window);
+    empty array when the document has fewer than ``k`` tokens.
 
     Spark has no ``let``, so naively indexing the token array inside the
     per-gram lambda re-evaluates the whole split/filter/md5 chain per access
@@ -177,11 +174,35 @@ def kgram_min_fingerprint_expr(text: Column, k: int = 3) -> Column:
 
         n_grams = F.size(v) - F.lit(k - 1)
         return F.when(
-            n_grams >= 1,
-            F.array_min(F.transform(F.sequence(F.lit(1), n_grams), gram_hash)),
-        ).otherwise(F.lit(-1).cast("long"))
+            n_grams >= 1, F.transform(F.sequence(F.lit(1), n_grams), gram_hash)
+        ).otherwise(F.array().cast("array<long>"))
 
     return F.element_at(F.transform(F.array(vals), over_vals), 1)
+
+
+def kgram_min_fingerprint_expr(text: Column, k: int = 3) -> Column:
+    """Winnowing-style fingerprint: the MIN of the rolling hashes of all
+    token ``k``-grams (:func:`kgram_hashes_expr`). Robust to prepended or
+    appended boilerplate, which shifts the full-document hash but leaves
+    interior k-grams intact. Documents with fewer than ``k`` tokens
+    fingerprint as -1."""
+    grams = kgram_hashes_expr(text, k)
+    return F.when(F.size(grams) >= 1, F.array_min(grams)).otherwise(
+        F.lit(-1).cast("long")
+    )
+
+
+def sampled_kgram_hashes_expr(text: Column, k: int = 3, mod: int = 16) -> Column:
+    """Mod-sampled distinct k-gram hashes: the grams whose rolling hash is
+    ``0 (mod mod)`` — a deterministic ~1/mod sample of a document's
+    k-grams that two documents agree on WHEREVER THEIR TEXT OVERLAPS (the
+    sample is a pure function of the gram content, never of the document).
+    This is the scale path to exact-substring overlap detection: explode
+    only the sample, self-join on the hash, and every collision is an
+    exact shared-k-token-span witness."""
+    return F.array_distinct(
+        F.filter(kgram_hashes_expr(text, k), lambda h: h % F.lit(mod) == 0)
+    )
 
 
 def fingerprint_expr(text: Column) -> Column:
