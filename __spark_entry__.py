@@ -326,6 +326,39 @@ def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nofollow_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REP link-level politeness: outlinks eligible for frontier expansion
+    after dropping rel=nofollow anchors (rel before OR after the href) and
+    every link of pages whose <meta name=robots> says nofollow (every 5th
+    page here). The reference's regex extraction follows everything; a
+    polite crawler must not."""
+    from crawler_spark.frontier.canon import followable_outlinks_expr
+
+    df = spark.range(25).select(
+        F.col("id").alias("page_id"),
+        F.concat(
+            F.when(
+                F.col("id") % 5 == 0,
+                F.lit('<head><meta name="robots" content="noindex,nofollow"></head>'),
+            ).otherwise(F.lit("<head></head>")),
+            F.format_string(
+                '<a href="/a%d">one</a>'
+                '<a rel="nofollow" href="/skip%d">paid</a>'
+                '<a href="/b%d">two</a>'
+                '<a href="/skip2%d" rel="ugc nofollow">ugc</a>',
+                F.col("id"),
+                F.col("id"),
+                F.col("id"),
+                F.col("id"),
+            ),
+        ).alias("html"),
+    )
+    return df.select(
+        "page_id",
+        F.posexplode(followable_outlinks_expr(F.col("html"))).alias("pos", "href"),
+    ).select("page_id", F.col("pos").cast("int").alias("pos"), "href")
+
+
 def q_sitemap_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap XML → ordered frontier seeds. Synthesized sitemaps with 3
     URLs per host (middle one lastmod-less and whitespace-padded),
@@ -2137,6 +2170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_crawl_delay": q_robots_crawl_delay,
         "sitemap_seeds": q_sitemap_seeds,
         "anchor_texts": q_anchor_texts,
+        "nofollow_outlinks": q_nofollow_outlinks,
         "politeness_topk": q_politeness_topk,
         "host_budget": q_host_budget,
         "frontier_union": q_frontier_union,
@@ -2675,6 +2709,11 @@ x AS (
 SELECT page_id, CAST(p - 1 AS INT) AS pos, hs[p] AS href,
        trim(regexp_replace(ts[p], '<[^>]*>', ' ', 'g')) AS anchor
 FROM x, UNNEST(range(1, len(hs) + 1)) u(p)""",
+        "nofollow_outlinks": """
+SELECT i AS page_id, pos, href FROM range(25) t(i),
+  (VALUES (0, '/a'), (1, '/b')) kept(pos, stem),
+  LATERAL (SELECT stem || i AS href)
+WHERE i % 5 <> 0""",
         "sitemap_seeds": """
 SELECT 'h' || i || '.example.com' AS host,
        CASE s WHEN 0 THEN 'http://h' || i || '.example.com/p0'

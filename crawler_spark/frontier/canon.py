@@ -483,3 +483,34 @@ def anchor_texts_expr(html_col: Column) -> Column:
         texts,
         lambda h, t: F.struct(h.alias("href"), strip_tags(t).alias("anchor")),
     )
+
+
+# anchor tag with href, capturing (1) the full attribute span and (2) the
+# href value — ONE pattern for both aligned extractions, so attr/href pairs
+# can't drift out of document order
+_FOLLOW_ANCHOR_JAVA = '(?is)<a[ \\t\\n\\r\\f\\x0B]([^>]*?href="([^"]*)"[^>]*)>'
+_NOFOLLOW_REL = '(?i)rel="[^"]*nofollow'
+_META_NOFOLLOW = '(?is)<meta[^>]*name="robots"[^>]*content="[^"]*nofollow'
+
+
+def followable_outlinks_expr(html_col: Column) -> Column:
+    """``array<string>`` of hrefs ELIGIBLE for frontier expansion under the
+    Robots Exclusion Protocol's link-level rules: drops links whose ``<a>``
+    tag carries ``rel=nofollow`` (before or after the href), and every link
+    of a page whose ``<meta name="robots">`` says ``nofollow``.
+
+    The reference follows everything (its regex rule has no rel awareness);
+    a polite crawler must not. Two aligned ``regexp_extract_all`` passes
+    over ONE pattern (group 1 = full attr span, group 2 = href) zip into
+    (attrs, href) pairs; the rel check is a per-element rlike on the attr
+    span — all whole-stage codegen, document order preserved, no HTML
+    parse.
+    """
+    attrs = F.regexp_extract_all(html_col, F.lit(_FOLLOW_ANCHOR_JAVA), 1)
+    hrefs = F.regexp_extract_all(html_col, F.lit(_FOLLOW_ANCHOR_JAVA), 2)
+    kept = F.zip_with(
+        attrs, hrefs, lambda a, h: F.when(~a.rlike(_NOFOLLOW_REL), h)
+    )
+    return F.when(
+        html_col.rlike(_META_NOFOLLOW), F.array().cast("array<string>")
+    ).otherwise(F.array_compact(kept))
