@@ -359,6 +359,42 @@ def q_nofollow_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("page_id", F.col("pos").cast("int").alias("pos"), "href")
 
 
+def q_canonical_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel=canonical consolidation: group page variants by their declared
+    canonical target (session-id / mirror variants all declare one
+    canonical; pages without the tag consolidate to themselves). Every 3rd
+    page declares page 0 of its host canonical — href-before-rel order on
+    every 6th — so hosts collapse to 2 consolidation groups without any
+    content compare."""
+    from crawler_spark.frontier.canon import canonical_link_expr
+
+    df = spark.range(30).select(
+        F.col("id").alias("page_id"),
+        F.format_string("http://h%d.com/p%d", F.col("id") % 5, F.col("id")).alias("url"),
+        F.concat(
+            F.when(
+                (F.col("id") % 6 == 0) & (F.col("id") % 3 == 0),
+                F.format_string(
+                    '<link href="http://h%d.com/p0" rel="canonical">', F.col("id") % 5
+                ),
+            )
+            .when(
+                F.col("id") % 3 == 0,
+                F.format_string(
+                    '<link rel="canonical" href="http://h%d.com/p0">', F.col("id") % 5
+                ),
+            )
+            .otherwise(F.lit("<head></head>")),
+            F.lit("<body>x</body>"),
+        ).alias("html"),
+    )
+    return (
+        df.select(canonical_link_expr(F.col("html"), F.col("url")).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count(F.lit(1)).alias("n_variants"))
+    )
+
+
 def q_sitemap_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap XML → ordered frontier seeds. Synthesized sitemaps with 3
     URLs per host (middle one lastmod-less and whitespace-padded),
@@ -2171,6 +2207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_seeds": q_sitemap_seeds,
         "anchor_texts": q_anchor_texts,
         "nofollow_outlinks": q_nofollow_outlinks,
+        "canonical_consolidation": q_canonical_consolidation,
         "politeness_topk": q_politeness_topk,
         "host_budget": q_host_budget,
         "frontier_union": q_frontier_union,
@@ -2714,6 +2751,13 @@ SELECT i AS page_id, pos, href FROM range(25) t(i),
   (VALUES (0, '/a'), (1, '/b')) kept(pos, stem),
   LATERAL (SELECT stem || i AS href)
 WHERE i % 5 <> 0""",
+        "canonical_consolidation": """
+WITH pages AS (
+  SELECT i AS id,
+    CASE WHEN i % 3 = 0 THEN 'http://h' || (i % 5) || '.com/p0'
+         ELSE 'http://h' || (i % 5) || '.com/p' || i END AS canonical_url
+  FROM range(30) t(i))
+SELECT canonical_url, count(*) AS n_variants FROM pages GROUP BY 1""",
         "sitemap_seeds": """
 SELECT 'h' || i || '.example.com' AS host,
        CASE s WHEN 0 THEN 'http://h' || i || '.example.com/p0'

@@ -514,3 +514,20 @@ def followable_outlinks_expr(html_col: Column) -> Column:
     return F.when(
         html_col.rlike(_META_NOFOLLOW), F.array().cast("array<string>")
     ).otherwise(F.array_compact(kept))
+
+
+# <link rel=canonical> in either attribute order; first match wins per page
+_CANON_REL_FIRST = '(?is)<link[^>]*?rel="canonical"[^>]*?href="([^"]*)"'
+_CANON_HREF_FIRST = '(?is)<link[^>]*?href="([^"]*)"[^>]*?rel="canonical"'
+
+
+def canonical_link_expr(html_col: Column, self_url: Column) -> Column:
+    """The page's ``<link rel="canonical">`` target, falling back to the
+    page's own URL — the consolidation key duplicate-content dedup groups
+    on (mirrors/trackers/session-id variants all declare one canonical, so
+    grouping by this column collapses them without any content compare).
+    Handles both attribute orders; first declaration wins; empty hrefs fall
+    through to self. Pure ``regexp_extract`` — codegen, no HTML parse."""
+    a = F.nullif(F.regexp_extract(html_col, _CANON_REL_FIRST, 1), F.lit(""))
+    b = F.nullif(F.regexp_extract(html_col, _CANON_HREF_FIRST, 1), F.lit(""))
+    return F.coalesce(a, b, self_url)
