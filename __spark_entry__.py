@@ -1357,6 +1357,22 @@ def q_major_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fulfillment_lag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-level date arithmetic (datediff) bucketed into a weekly
+    histogram: order→ship lag distribution. Integer day math is exact on
+    both engines (no epoch/tz arithmetic), and the derived bucket key keeps
+    the aggregate partial — at most #buckets rows leave each map task."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lag_days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.floor(lag_days / 7).cast("int").alias("lag_weeks"))
+        .groupBy("lag_weeks")
+        .agg(F.count(F.lit(1)).alias("n_lineitems"))
+    )
+
+
 def q_price_qty_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear-regression aggregate family (regr_slope / regr_intercept /
     regr_r2) per return flag — one-pass co-moment sketches, partial-
@@ -2260,6 +2276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "major_part_suppliers": q_major_part_suppliers,
         "price_qty_regression": q_price_qty_regression,
         "fuzzy_title_pairs": q_fuzzy_title_pairs,
+        "fulfillment_lag_histogram": q_fulfillment_lag_histogram,
         # training-data pipeline
         "rule_cut_all": q_rule_cut_all,
         "dedup_keep_first": q_dedup_keep_first,
@@ -3314,6 +3331,11 @@ WHERE s_suppkey IN (
   SELECT l_suppkey FROM per_ps JOIN per_part USING (l_partkey)
   WHERE ss * ns * 2 > tq * 5
 )""",
+        "fulfillment_lag_histogram": """
+SELECT CAST(floor(datediff('day', o_orderdate, l_shipdate) / 7.0) AS INT) AS lag_weeks,
+       count(*) AS n_lineitems
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1""",
         "price_qty_regression": """
 SELECT l_returnflag,
        count(*) AS n,

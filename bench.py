@@ -109,6 +109,7 @@ HEADLINE = [
     "docs_lang_source_cube",
     "doc_rank_in_source",
     "orders_month_seasonality",
+    "fulfillment_lag_histogram",
     "user_event_sequence",
 ]
 
