@@ -359,6 +359,34 @@ def q_nofollow_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("page_id", F.col("pos").cast("int").alias("pos"), "href")
 
 
+def q_robots_rfc_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 §2.2.2 longest-match precedence: Allow overrides a shorter
+    Disallow (/private/public under Disallow /private), an equal-length
+    Allow wins the tie (/tmp), unmatched paths pass, and hosts with no
+    robots row pass everything. Even-numbered hosts carry the robots body;
+    odd hosts have none. The verdict runs in codegen over the broadcast
+    rules dim — no explode, no Python."""
+    from crawler_spark.frontier.politeness import robots_allowed_rfc, robots_rules_expr
+
+    body = (
+        "User-agent: *\n"
+        "Disallow: /private\n"
+        "Allow: /private/public\n"
+        "Disallow: /tmp\n"
+        "Allow: /tmp\n"
+    )
+    hosts = spark.range(10).select(F.format_string("h%d.com", F.col("id")).alias("host"))
+    robots = (
+        hosts.filter(F.expr("host rlike 'h[02468]\\\\.com'"))
+        .select("host", robots_rules_expr(F.lit(body)).alias("rules"))
+    )
+    paths = ["/private/x", "/private/public/y", "/tmp/z", "/open/w"]
+    frontier = hosts.crossJoin(
+        spark.createDataFrame([(p,) for p in paths], "path string")
+    ).select("host", F.concat(F.lit("http://"), F.col("host"), F.col("path")).alias("url_canon"))
+    return robots_allowed_rfc(frontier, robots).select("host", "url_canon")
+
+
 def q_canonical_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rel=canonical consolidation: group page variants by their declared
     canonical target (session-id / mirror variants all declare one
@@ -2224,6 +2252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_texts": q_anchor_texts,
         "nofollow_outlinks": q_nofollow_outlinks,
         "canonical_consolidation": q_canonical_consolidation,
+        "robots_rfc_precedence": q_robots_rfc_precedence,
         "politeness_topk": q_politeness_topk,
         "host_budget": q_host_budget,
         "frontier_union": q_frontier_union,
@@ -2768,6 +2797,12 @@ SELECT i AS page_id, pos, href FROM range(25) t(i),
   (VALUES (0, '/a'), (1, '/b')) kept(pos, stem),
   LATERAL (SELECT stem || i AS href)
 WHERE i % 5 <> 0""",
+        "robots_rfc_precedence": """
+SELECT 'h' || i || '.com' AS host,
+       'http://h' || i || '.com' || path AS url_canon
+FROM range(10) t(i),
+     (VALUES ('/private/x'), ('/private/public/y'), ('/tmp/z'), ('/open/w')) p(path)
+WHERE i % 2 = 1 OR path <> '/private/x'""",
         "canonical_consolidation": """
 WITH pages AS (
   SELECT i AS id,

@@ -90,6 +90,73 @@ def parse_robots(df: DataFrame, host_col: str = "host", text_col: str = "robots_
     )
 
 
+#: value of an ``Allow:`` line (leading ws / case-insensitive directive)
+_ALLOW_RE = r"(?i)^\s*allow\s*:\s*(\S*)"
+
+
+def robots_rules_expr(text: Column) -> Column:
+    """Parse a raw robots.txt body into its ``User-agent: *`` rule list —
+    ``array<struct<prefix:string, allow:boolean>>``, document order.
+
+    The full-precedence sibling of :func:`robots_prefixes_expr`: it keeps
+    ``Allow:`` lines too, so :func:`robots_allowed_rfc` can apply RFC 9309
+    §2.2.2 longest-match precedence (most specific rule wins; Allow wins
+    length ties). Same group slicing, same codegen-only machinery; empty
+    rule values are dropped on both directives."""
+    lines = F.split(text, "\n")
+    n = F.size(lines)
+    idx = F.sequence(F.lit(1), n)
+
+    def is_ua(line: Column) -> Column:
+        return F.lower(F.ltrim(line)).startswith("user-agent:")
+
+    def is_ua_star(line: Column) -> Column:
+        return is_ua(line) & (F.trim(F.get(F.split(line, ":", 2), 1)) == F.lit("*"))
+
+    ua_hits = F.filter(idx, lambda i: is_ua_star(F.element_at(lines, i)))
+    start = F.get(ua_hits, 0)
+    next_hits = F.filter(idx, lambda i: (i > start) & is_ua(F.element_at(lines, i)))
+    stop = F.coalesce(F.get(next_hits, 0), n + 1)
+    group = F.filter(idx, lambda i: (i > start) & (i < stop))
+
+    def rule(i: Column) -> Column:
+        line = F.element_at(lines, i)
+        dis = F.regexp_extract(line, _DISALLOW_RE, 1)
+        alw = F.regexp_extract(line, _ALLOW_RE, 1)
+        return F.when(
+            alw != "", F.struct(alw.alias("prefix"), F.lit(True).alias("allow"))
+        ).when(dis != "", F.struct(dis.alias("prefix"), F.lit(False).alias("allow")))
+
+    rules = F.array_compact(F.transform(group, rule))
+    empty = F.array().cast("array<struct<prefix:string,allow:boolean>>")
+    return F.when(start.isNull(), empty).otherwise(rules)
+
+
+def robots_allowed_rfc(frontier: DataFrame, robots: DataFrame) -> DataFrame:
+    """RFC 9309 §2.2.2 verdict: among the rules whose prefix matches the
+    URL path, the LONGEST prefix wins; an Allow wins length ties; no
+    matching rule (or no robots row) means allowed.
+
+    ``robots(host, rules array<struct<prefix,allow>>)`` is the per-host dim
+    from :func:`robots_rules_expr` — broadcast join, verdict evaluated with
+    higher-order array functions entirely in codegen (no Python, no
+    explode: the rule list never leaves its row)."""
+    path = F.coalesce(F.parse_url(F.col("url_canon"), F.lit("PATH")), F.lit("/"))
+    joined = frontier.join(F.broadcast(robots.select("host", "rules")), "host", "left")
+    matches = F.filter(F.col("rules"), lambda r: path.startswith(r["prefix"]))
+    best = F.array_max(F.transform(matches, lambda r: F.length(r["prefix"])))
+    allowed = (
+        F.when(F.col("rules").isNull(), F.lit(True))
+        .when(F.size(matches) == 0, F.lit(True))
+        .otherwise(
+            F.exists(matches, lambda r: r["allow"] & (F.length(r["prefix"]) == best))
+        )
+    )
+    return joined.withColumn("_allowed", allowed).filter(F.col("_allowed")).drop(
+        "_allowed", "rules"
+    )
+
+
 def politeness_cap(politeness: DataFrame, default_budget: int = 16) -> int:
     """Max budget across the politeness dim — the literal bound that lets
     Catalyst plan the map-side WindowGroupLimit. The dim is static for a
