@@ -449,6 +449,45 @@ def q_sitemap_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sitemap_seeds(df)
 
 
+def q_sitemap_index_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level sitemap discovery: each host's <sitemapindex> lists two
+    real child sitemaps plus one the corpus doesn't have (silent skip via
+    the inner fetch-join, pager.go:44-46 philosophy); each child lists two
+    urls. Ordering is carried as data: (index_seq, url_seq)."""
+    from crawler_spark.sources.sitemap import expand_sitemap_index
+
+    hosts = spark.range(6).select(F.format_string("h%d.com", F.col("id")).alias("host"))
+    index = hosts.select(
+        "host",
+        F.format_string(
+            "<sitemapindex>"
+            "<sitemap><loc>http://%s/s1.xml</loc></sitemap>"
+            "<sitemap><loc>http://%s/s2.xml</loc></sitemap>"
+            "<sitemap><loc>http://%s/missing.xml</loc></sitemap>"
+            "</sitemapindex>",
+            F.col("host"),
+            F.col("host"),
+            F.col("host"),
+        ).alias("sitemap_xml"),
+    )
+    corpus = hosts.crossJoin(
+        spark.createDataFrame([(1,), (2,)], "s int")
+    ).select(
+        F.format_string("http://%s/s%d.xml", F.col("host"), F.col("s")).alias("sitemap_url"),
+        F.format_string(
+            "<urlset>"
+            "<url><loc>http://%s/s%d/a</loc><lastmod>2024-03-01</lastmod></url>"
+            "<url><loc>http://%s/s%d/b</loc></url>"
+            "</urlset>",
+            F.col("host"),
+            F.col("s"),
+            F.col("host"),
+            F.col("s"),
+        ).alias("sitemap_xml"),
+    )
+    return expand_sitemap_index(index, corpus)
+
+
 def q_robots_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-delay → per-host politeness budget: parse the UA-* group's
     Crawl-delay (distractor delays in other groups must NOT leak) and
@@ -2249,6 +2288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_parse": q_robots_parse,
         "robots_crawl_delay": q_robots_crawl_delay,
         "sitemap_seeds": q_sitemap_seeds,
+        "sitemap_index_seeds": q_sitemap_index_seeds,
         "anchor_texts": q_anchor_texts,
         "nofollow_outlinks": q_nofollow_outlinks,
         "canonical_consolidation": q_canonical_consolidation,
@@ -2810,6 +2850,13 @@ WITH pages AS (
          ELSE 'http://h' || (i % 5) || '.com/p' || i END AS canonical_url
   FROM range(30) t(i))
 SELECT canonical_url, count(*) AS n_variants FROM pages GROUP BY 1""",
+        "sitemap_index_seeds": """
+SELECT 'h' || i || '.com' AS host,
+       'http://h' || i || '.com/s' || s || CASE u WHEN 0 THEN '/a' ELSE '/b' END AS url,
+       CASE u WHEN 0 THEN '2024-03-01' ELSE NULL END AS lastmod,
+       CAST(s - 1 AS INT) AS index_seq,
+       CAST(u AS INT) AS url_seq
+FROM range(6) t(i), (VALUES (1), (2)) sm(s), (VALUES (0), (1)) uu(u)""",
         "sitemap_seeds": """
 SELECT 'h' || i || '.example.com' AS host,
        CASE s WHEN 0 THEN 'http://h' || i || '.example.com/p0'

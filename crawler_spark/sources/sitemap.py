@@ -49,3 +49,55 @@ def sitemap_seeds(
         F.col("e.lastmod").alias("lastmod"),
         F.col("seq").cast("int").alias("seq"),
     )
+
+
+def sitemap_index_expr(xml: Column) -> Column:
+    """``array<string>`` of child-sitemap locs from a ``<sitemapindex>``
+    body, document order (blocks isolated on ``</sitemap>`` the same way
+    url blocks are; empty locs dropped)."""
+    blocks = F.split(xml, "</sitemap>")
+    locs = F.transform(blocks, lambda b: F.regexp_extract(b, _LOC_RE, 1))
+    return F.filter(locs, lambda loc: loc != "")
+
+
+def expand_sitemap_index(
+    index_df: DataFrame,
+    corpus_df: DataFrame,
+    host_col: str = "host",
+    index_xml_col: str = "sitemap_xml",
+    corpus_url_col: str = "sitemap_url",
+    corpus_xml_col: str = "sitemap_xml",
+) -> DataFrame:
+    """Two-level sitemap discovery: ``<sitemapindex>`` → child sitemaps →
+    seed rows ``(host, url, lastmod, index_seq, url_seq)``.
+
+    The child fetch is an inner equi-join against the sitemap corpus —
+    the same fetch-as-join the crawl uses for pages (and the same silent
+    skip for children the corpus doesn't have, pager.go:44-46 philosophy).
+    Ordering stays a data property: ``index_seq`` is the child's position
+    in the index, ``url_seq`` the url's position in the child, so the
+    frontier ordering contract extends through the nesting. One broadcast-
+    able explode side, one join keyed on the child URL — no driver loop
+    over sitemaps, however many the index lists."""
+    children = index_df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(sitemap_index_expr(F.col(index_xml_col))).alias(
+            "index_seq", "child_url"
+        ),
+    )
+    corpus = corpus_df.select(
+        F.col(corpus_url_col).alias("child_url"),
+        F.col(corpus_xml_col).alias("child_xml"),
+    )
+    fetched = children.join(corpus, "child_url")
+    return fetched.select(
+        "host",
+        "index_seq",
+        F.posexplode(sitemap_entries_expr(F.col("child_xml"))).alias("url_seq", "e"),
+    ).select(
+        "host",
+        F.col("e.loc").alias("url"),
+        F.col("e.lastmod").alias("lastmod"),
+        F.col("index_seq").cast("int").alias("index_seq"),
+        F.col("url_seq").cast("int").alias("url_seq"),
+    )
