@@ -1774,18 +1774,20 @@ def q_shared_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Opaque-media ingestion: raw files on disk → binary column via Spark's
-    built-in `binaryFile` source — the step that turns an image/audio drop
-    directory into the multimodal table `pipeline/multimodal.py` operates
-    on. Emits (name, length, content_md5); the oracle derives the same
-    values from the documents table the payloads were built from (ASCII, so
-    md5-of-bytes == md5-of-string on both engines). At 100 TB this source
-    partitions by file and never reads a byte twice; the pathGlobFilter
-    prunes non-media files at listing time, before any task launches."""
+_MEDIA_FIXTURE_CACHE: dict[str, str] = {}
+
+
+def _media_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Fixture layer for `binaryfile_ingest`: materialize the media drop
+    directory (64 small .bin payloads derived from documents, plus one
+    non-media decoy for the listing-time glob prune) once per sf_dir, so the
+    query body stays a pure read."""
     import os as _os
     import tempfile
 
+    cached = _MEDIA_FIXTURE_CACHE.get(sf_dir)
+    if cached is not None and _os.path.isdir(cached):
+        return cached
     rows = (
         _t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 64)
@@ -1799,6 +1801,23 @@ def q_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             fh.write(payload.encode("ascii"))
     with open(_os.path.join(d, "ignore.txt"), "w") as fh:
         fh.write("not media")  # proves the glob prunes at listing time
+    _MEDIA_FIXTURE_CACHE[sf_dir] = d
+    return d
+
+
+def q_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-media ingestion: raw files on disk → binary column via Spark's
+    built-in `binaryFile` source — the step that turns an image/audio drop
+    directory into the multimodal table `pipeline/multimodal.py` operates
+    on. Emits (name, length, content_md5); the oracle derives the same
+    values from the documents table the payloads were built from (ASCII, so
+    md5-of-bytes == md5-of-string on both engines). At 100 TB this source
+    partitions by file and never reads a byte twice; the pathGlobFilter
+    prunes non-media files at listing time, before any task launches.
+
+    The drop directory is fixture state, materialized once per sf_dir by
+    `_media_fixture_dir` — the query body itself is read-only."""
+    d = _media_fixture_dir(spark, sf_dir)
     return (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.bin")
@@ -2266,7 +2285,99 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# Driver hard-gates registry order [0:50] per round; round 1 covered exactly
+# the first 50 entries (49 green, `sessionize` red on an oracle dtype bug,
+# fixed below). Put the not-yet-driver-verified entries first — most critical
+# at the head (quirk-sensitive rules, file-format roundtrips, the
+# dedup/similarity/textstats/graph family, oracles whose dtype casts were
+# audited this round) — and the round-1-green entries last; those stay covered
+# by scripts/check_oracle.py + pytest meanwhile. Rows-only entries sit just
+# before the greens: their driver check is weaker, so they spend window slots
+# last.
+_R2_FRONT = [
+    # red in r1 (oracle dtype bug, fixed) — re-verify first
+    "sessionize",
+    # quirk-critical P4 per-level-distinct cut rule
+    "rule_cut_all",
+    # file-format roundtrips
+    "csv_roundtrip",
+    "jsonl_roundtrip",
+    "orc_roundtrip",
+    "warc_roundtrip",
+    "binaryfile_ingest",
+    # dedup / similarity / textstats / graph family
+    "exact_dedup",
+    "dedup_keep_first",
+    "minhash_signatures",
+    "lsh_est_jaccard",
+    "simhash",
+    "simhash_near_dups",
+    "near_dup_clusters",
+    "span_dedup",
+    "shared_shingle_pairs",
+    "ngram_jaccard",
+    "embedding_topk",
+    "ann_ivf_topk",
+    "cosine_near_dups",
+    "semantic_dedup",
+    "text_quality",
+    "token_counts",
+    "lang_id",
+    "doc_fingerprint",
+    "repetition_quality",
+    "tfidf_top_terms",
+    "decontaminate",
+    "quality_by_source",
+    "curate_corpus",
+    "stratified_sample_docs",
+    "balanced_sample_per_source",
+    "purchase_graph_pagerank",
+    # oracles with dtype-cast audits this round
+    "docs_lang_source_cube",
+    "promo_revenue_share",
+    "important_parts",
+    "major_part_suppliers",
+    # remaining round-1-unverified relational coverage
+    "lineitem_stats_by_flag",
+    "events_grouping_sets",
+    "min_cost_supplier",
+    "large_volume_orders",
+    "sole_returned_supplier",
+    "customer_order_distribution",
+    "doc_rank_in_source",
+    "nation_pair_volume",
+    "order_priority_lines",
+    "top_supplier_by_revenue",
+    "supplier_count_by_part",
+    "disjunctive_part_revenue",
+    "returned_revenue_by_customer",
+    "lineitem_measures_unpivot",
+    "discount_band_revenue",
+    "nation_market_share",
+    "product_profit_by_nation",
+    "price_qty_regression",
+    "fuzzy_title_pairs",
+    "fulfillment_lag_histogram",
+    "orders_month_seasonality",
+    "user_event_sequence",
+    # rows-only (weakest driver check — spend window slots last)
+    "crawl_bsp_rounds",
+    "stream_crawl_rounds",
+    "ann_lsh_topk",
+    "multimodal_features",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    base = _queries_base()
+    ordered = {k: base[k] for k in _R2_FRONT if k in base}
+    ordered.update({k: v for k, v in base.items() if k not in ordered})
+    return ordered
+
+
+def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # extraction rules (SURVEY §2.2)
         "rule_regex_first": q_rule_regex_first,
@@ -3133,7 +3244,7 @@ WITH g AS (
              > INTERVAL 3600 SECONDS
          THEN 1 ELSE 0 END AS new_sess
   FROM events)
-SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM g GROUP BY user_id""",
         "rule_cut_all": _sql_cut_all(),
         "dedup_keep_first": (

@@ -19,6 +19,17 @@ SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def _dtype_kind(dt) -> str:
+    """Coarse dtype class: the axis along which the driver's hash differs."""
+    if np.issubdtype(dt, np.floating):
+        return "float"
+    if np.issubdtype(dt, np.integer):
+        return "int"
+    if np.issubdtype(dt, np.bool_):
+        return "bool"
+    return "other"
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -40,6 +51,17 @@ def compare(name: str, a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
     a, b = normalize(a), normalize(b)
     for c in a.columns:
         av, bv = a[c], b[c]
+        # Driver's value hash is dtype-sensitive: DuckDB HUGEINT -> pandas
+        # float64 hashes differently from Spark's int64 even when every value
+        # is numerically equal (r1 `sessionize` failure). Fail on a
+        # kind-class mismatch so a driver hash failure always reproduces here.
+        ka, kb = _dtype_kind(av.dtype), _dtype_kind(bv.dtype)
+        if ka != kb:
+            problems.append(
+                f"dtype kind mismatch col {c}: spark={av.dtype}({ka}) "
+                f"duck={bv.dtype}({kb}) — driver hash would fail"
+            )
+            continue
         if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
             ok = np.allclose(
                 av.astype(float), bv.astype(float), rtol=1e-9, atol=1e-12, equal_nan=True
