@@ -277,7 +277,10 @@ def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parse raw robots.txt bodies into User-agent:* Disallow prefixes —
     pure built-ins (split + higher-order array fns + one regexp), map-only.
     Input synthesized deterministically (spark.range ↔ DuckDB range) with
-    distractor groups, comments, and an empty Disallow."""
+    distractor groups, comments, an empty Disallow, AND RFC 9309 grouping
+    hazards: a second ``User-agent: *`` group late in the body (its rules
+    must merge with the first) reached through a stacked-UA header
+    (``User-agent: gamma`` + ``User-agent: *`` share one group)."""
     from crawler_spark.frontier.politeness import robots_prefixes_expr
 
     df = spark.range(60).select(
@@ -285,9 +288,11 @@ def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.format_string(
             "# synthetic robots\nUser-agent: alpha\nDisallow: /alpha-only\n\n"
             "User-agent: *\nDisallow: /p/%d\ndisallow: /tmp%d\nAllow: /pub\n"
-            "Disallow:\nUser-agent: beta\nDisallow: /beta-only",
+            "Disallow:\nUser-agent: beta\nDisallow: /beta-only\n"
+            "User-agent: gamma\nUser-agent: *\nDisallow: /second/%d",
             F.col("id"),
             F.pmod(F.col("id"), F.lit(5)),
+            F.pmod(F.col("id"), F.lit(3)),
         ).alias("robots_txt"),
     )
     parsed = df.select(
@@ -364,8 +369,11 @@ def q_robots_rfc_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
     Disallow (/private/public under Disallow /private), an equal-length
     Allow wins the tie (/tmp), unmatched paths pass, and hosts with no
     robots row pass everything. Even-numbered hosts carry the robots body;
-    odd hosts have none. The verdict runs in codegen over the broadcast
-    rules dim — no explode, no Python."""
+    odd hosts have none. Rules match against path?query (a
+    ``Disallow: /search?q=`` blocks ``/search?q=...`` but not
+    ``/search?lang=...``), and the rule lives in a SECOND ``User-agent: *``
+    group that must merge with the first per RFC 9309 grouping. The verdict
+    runs in codegen over the broadcast rules dim — no explode, no Python."""
     from crawler_spark.frontier.politeness import robots_allowed_rfc, robots_rules_expr
 
     body = (
@@ -374,13 +382,24 @@ def q_robots_rfc_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Allow: /private/public\n"
         "Disallow: /tmp\n"
         "Allow: /tmp\n"
+        "User-agent: other\n"
+        "Disallow: /distraction\n"
+        "User-agent: *\n"
+        "Disallow: /search?q=\n"
     )
     hosts = spark.range(10).select(F.format_string("h%d.com", F.col("id")).alias("host"))
     robots = (
         hosts.filter(F.expr("host rlike 'h[02468]\\\\.com'"))
         .select("host", robots_rules_expr(F.lit(body)).alias("rules"))
     )
-    paths = ["/private/x", "/private/public/y", "/tmp/z", "/open/w"]
+    paths = [
+        "/private/x",
+        "/private/public/y",
+        "/tmp/z",
+        "/open/w",
+        "/search?q=secret",
+        "/search?lang=en",
+    ]
     frontier = hosts.crossJoin(
         spark.createDataFrame([(p,) for p in paths], "path string")
     ).select("host", F.concat(F.lit("http://"), F.col("host"), F.col("path")).alias("url_canon"))
@@ -2952,8 +2971,9 @@ WHERE i % 5 <> 0""",
 SELECT 'h' || i || '.com' AS host,
        'http://h' || i || '.com' || path AS url_canon
 FROM range(10) t(i),
-     (VALUES ('/private/x'), ('/private/public/y'), ('/tmp/z'), ('/open/w')) p(path)
-WHERE i % 2 = 1 OR path <> '/private/x'""",
+     (VALUES ('/private/x'), ('/private/public/y'), ('/tmp/z'), ('/open/w'),
+             ('/search?q=secret'), ('/search?lang=en')) p(path)
+WHERE i % 2 = 1 OR path NOT IN ('/private/x', '/search?q=secret')""",
         "canonical_consolidation": """
 WITH pages AS (
   SELECT i AS id,
@@ -2992,25 +3012,31 @@ WITH r AS (
          'User-agent: *' || chr(10) || 'Disallow: /p/' || i || chr(10) ||
          'disallow: /tmp' || (i % 5) || chr(10) || 'Allow: /pub' || chr(10) ||
          'Disallow:' || chr(10) || 'User-agent: beta' || chr(10) ||
-         'Disallow: /beta-only' AS robots_txt
+         'Disallow: /beta-only' || chr(10) || 'User-agent: gamma' || chr(10) ||
+         'User-agent: *' || chr(10) || 'Disallow: /second/' || (i % 3)
+           AS robots_txt
   FROM range(60) t(i)),
 lines AS (
   SELECT host, unnest(ls) AS line, generate_subscripts(ls, 1) AS i
   FROM (SELECT host, string_split(robots_txt, chr(10)) AS ls FROM r)),
 ua AS (
-  SELECT host, min(i) AS s FROM lines
-  WHERE lower(ltrim(line)) LIKE 'user-agent:%'
-    AND trim(string_split(line, ':')[2]) = '*'
-  GROUP BY host),
-nxt AS (
-  SELECT l.host, min(l.i) AS e FROM lines l JOIN ua USING (host)
-  WHERE l.i > ua.s AND lower(ltrim(l.line)) LIKE 'user-agent:%'
-  GROUP BY l.host),
+  SELECT host, i, trim(string_split(line, ':')[2]) = '*' AS star
+  FROM lines WHERE lower(ltrim(line)) LIKE 'user-agent:%'),
+starts AS (
+  SELECT u.host, u.i FROM ua u
+  WHERE NOT EXISTS (SELECT 1 FROM ua p WHERE p.host = u.host AND p.i = u.i - 1)),
+gids AS (
+  SELECT l.host, l.i, l.line,
+         (SELECT count(*) FROM starts s WHERE s.host = l.host AND s.i <= l.i) AS gid
+  FROM lines l),
+stargids AS (
+  SELECT DISTINCT g.host, g.gid
+  FROM gids g JOIN ua u ON u.host = g.host AND u.i = g.i WHERE u.star),
 hits AS (
-  SELECT l.host, l.i,
-         regexp_extract(l.line, '(?i)^\\s*disallow\\s*:\\s*(\\S*)', 1) AS prefix
-  FROM lines l JOIN ua USING (host) LEFT JOIN nxt USING (host)
-  WHERE l.i > ua.s AND (nxt.e IS NULL OR l.i < nxt.e))
+  SELECT g.host, g.i,
+         regexp_extract(g.line, '(?i)^\\s*disallow\\s*:\\s*(\\S*)', 1) AS prefix
+  FROM gids g JOIN stargids sg ON sg.host = g.host AND sg.gid = g.gid
+  WHERE lower(ltrim(g.line)) NOT LIKE 'user-agent:%')
 SELECT host,
        CAST(row_number() OVER (PARTITION BY host ORDER BY i) - 1 AS INT) AS pos,
        prefix

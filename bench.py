@@ -19,6 +19,8 @@ Env knobs:
   BENCH_SKIP_KERNEL    "1" → skip the frontier-round kernel
   BENCH_NO_STAGE       "1" → read the raw single-file tables directly
                        (default stages a multi-file copy; see stage_inputs)
+  BENCH_STAGE_FILES    files per staged table (default max(4, cpus//4);
+                       8 beat both 1 and 32 at local[32] — see BENCH.md)
 """
 
 from __future__ import annotations
@@ -186,6 +188,10 @@ def stage_inputs(spark, src_dir: str, cpus: int) -> str:
     staged = os.path.join(tempfile.gettempdir(), f"spark_graft_staged_{tag}_{n_files}")
     marker = os.path.join(staged, "_STAGED_OK")
     sources = sorted(glob.glob(os.path.join(src_dir, "*.parquet")))
+    if not sources:
+        # fail HERE, not three stages later with an empty staged dir whose
+        # marker makes every later run fail far from the cause
+        raise FileNotFoundError(f"stage_inputs: no *.parquet under {src_dir!r}")
     # fingerprint the sources so a regenerated testdata dir (new mtime/size)
     # invalidates the cached copy instead of silently serving stale tables
     fingerprint = "\n".join(

@@ -10,15 +10,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def url_path_query_expr(url: Column) -> Column:
+    """The ``path?query`` substring of a URL — the string RFC 9309 §2.2.2
+    matches rules against (``parse_url(...,'PATH')`` drops the query, so a
+    rule like ``Disallow: /search?q=`` could never match through it).
+
+    Textual strip of ``scheme://authority`` and any ``#fragment`` — also
+    covers URLs ``parse_url`` would reject (those used to silently fall back
+    to ``/`` = always allowed). Empty path → ``/``; a bare ``?query`` gets
+    the implicit root path. Pure codegen regexps, no Python."""
+    pq = F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+    pq = F.regexp_replace(pq, r"#.*", "")
+    return (
+        F.when(pq.isNull() | (pq == ""), F.lit("/"))
+        .when(pq.startswith("?"), F.concat(F.lit("/"), pq))
+        .otherwise(pq)
+    )
+
+
 def robots_allowed(frontier: DataFrame, robots: DataFrame) -> DataFrame:
-    """Filter out URLs whose path starts with a disallowed prefix.
+    """Filter out URLs whose path?query starts with a disallowed prefix.
 
     ``robots(host, disallow_prefixes array<string>)`` is a per-host dim —
     tiny next to the frontier → broadcast join; prefix matching stays
     JVM-side via ``exists(startswith)``, no Python.
     Hosts with no robots row are allowed (crawler convention).
     """
-    path = F.coalesce(F.parse_url(F.col("url_canon"), F.lit("PATH")), F.lit("/"))
+    path = url_path_query_expr(F.col("url_canon"))
     joined = frontier.join(
         F.broadcast(robots.select("host", "disallow_prefixes")), "host", "left"
     )
@@ -39,17 +57,54 @@ def robots_allowed(frontier: DataFrame, robots: DataFrame) -> DataFrame:
 _DISALLOW_RE = r"(?i)^\s*disallow\s*:\s*(\S*)"
 
 
+def _star_scope_idx(lines: Column, idx: Column) -> Column:
+    """Indices (1-based, document order) of the lines governed by ANY
+    ``User-agent: *`` group — RFC 9309 §2.2.1 grouping:
+
+    * a group starts at a ``User-agent:`` line whose predecessor is not a
+      ``User-agent:`` line; a run of stacked UA lines shares ONE group, so
+      ``User-agent: *`` followed by ``User-agent: foo`` keeps its rules;
+    * rules from EVERY group naming ``*`` merge (the spec merges rules
+      across all groups matching the agent — a second ``*`` group late in
+      the file must not be dropped).
+
+    Mechanics: group id of a line = count of group-starts at-or-before it;
+    a line is in star scope iff its group id is the id of some ``*`` line.
+    O(lines × groups) array ops per body, all codegen."""
+
+    def is_ua_i(i: Column) -> Column:
+        return _is_ua(F.element_at(lines, i))
+
+    def is_star_i(i: Column) -> Column:
+        line = F.element_at(lines, i)
+        return _is_ua(line) & (F.trim(F.get(F.split(line, ":", 2), 1)) == F.lit("*"))
+
+    starts = F.filter(idx, lambda i: is_ua_i(i) & ((i == 1) | ~is_ua_i(i - 1)))
+
+    def gid(i: Column) -> Column:
+        return F.size(F.filter(starts, lambda s: s <= i))
+
+    star_gids = F.array_distinct(F.transform(F.filter(idx, is_star_i), gid))
+    return F.filter(
+        idx,
+        lambda i: ~is_ua_i(i) & F.exists(star_gids, lambda g: g == gid(i)),
+    )
+
+
+def _is_ua(line: Column) -> Column:
+    return F.lower(F.ltrim(line)).startswith("user-agent:")
+
+
 def robots_prefixes_expr(text: Column) -> Column:
     """Parse a raw robots.txt body into its ``User-agent: *`` Disallow
     prefixes — ``array<string>``, document order, pure built-ins.
 
-    Semantics (deterministic simplification of RFC 9309 grouping, mirrored
-    by the DuckDB oracle twin): take the lines strictly after the FIRST
-    ``User-agent: *`` line up to the next ``User-agent:`` line (or EOF);
-    within them, each ``Disallow:`` line contributes its value; empty
-    values (``Disallow:`` alone = allow-all) are dropped. Directive
-    matching is case-insensitive and whitespace-tolerant; values keep
-    their case (URL paths are case-sensitive).
+    RFC 9309 grouping via :func:`_star_scope_idx`: rules from every group
+    naming ``*`` (including stacked-UA groups) merge in document order.
+    Each ``Disallow:`` line in scope contributes its value; empty values
+    (``Disallow:`` alone = allow-all) are dropped. Directive matching is
+    case-insensitive and whitespace-tolerant; values keep their case (URL
+    paths are case-sensitive).
 
     Stays in whole-stage codegen: split + higher-order array functions
     over the line array, one regexp per Disallow candidate — no Python,
@@ -57,28 +112,14 @@ def robots_prefixes_expr(text: Column) -> Column:
     columnar stage. Output feeds :func:`robots_allowed` directly.
     """
     lines = F.split(text, "\n")
-    n = F.size(lines)
-    idx = F.sequence(F.lit(1), n)  # 1-based, aligned with element_at
-
-    def is_ua(line: Column) -> Column:
-        return F.lower(F.ltrim(line)).startswith("user-agent:")
-
-    def is_ua_star(line: Column) -> Column:
-        return is_ua(line) & (F.trim(F.get(F.split(line, ":", 2), 1)) == F.lit("*"))
-
-    ua_hits = F.filter(idx, lambda i: is_ua_star(F.element_at(lines, i)))
-    start = F.get(ua_hits, 0)  # null-safe: null when no UA-* group exists
-    next_hits = F.filter(
-        idx, lambda i: (i > start) & is_ua(F.element_at(lines, i))
-    )
-    stop = F.coalesce(F.get(next_hits, 0), n + 1)
-    group = F.filter(idx, lambda i: (i > start) & (i < stop))
+    idx = F.sequence(F.lit(1), F.size(lines))  # 1-based, aligned with element_at
+    scope = _star_scope_idx(lines, idx)
     vals = F.transform(
-        group,
+        scope,
         lambda i: F.regexp_extract(F.element_at(lines, i), _DISALLOW_RE, 1),
     )
     prefixes = F.filter(vals, lambda v: v != "")
-    return F.when(start.isNull(), F.array().cast("array<string>")).otherwise(prefixes)
+    return F.coalesce(prefixes, F.array().cast("array<string>"))
 
 
 def parse_robots(df: DataFrame, host_col: str = "host", text_col: str = "robots_txt") -> DataFrame:
@@ -101,23 +142,12 @@ def robots_rules_expr(text: Column) -> Column:
     The full-precedence sibling of :func:`robots_prefixes_expr`: it keeps
     ``Allow:`` lines too, so :func:`robots_allowed_rfc` can apply RFC 9309
     §2.2.2 longest-match precedence (most specific rule wins; Allow wins
-    length ties). Same group slicing, same codegen-only machinery; empty
-    rule values are dropped on both directives."""
+    length ties). Same merged-group scoping (:func:`_star_scope_idx`), same
+    codegen-only machinery; empty rule values are dropped on both
+    directives."""
     lines = F.split(text, "\n")
-    n = F.size(lines)
-    idx = F.sequence(F.lit(1), n)
-
-    def is_ua(line: Column) -> Column:
-        return F.lower(F.ltrim(line)).startswith("user-agent:")
-
-    def is_ua_star(line: Column) -> Column:
-        return is_ua(line) & (F.trim(F.get(F.split(line, ":", 2), 1)) == F.lit("*"))
-
-    ua_hits = F.filter(idx, lambda i: is_ua_star(F.element_at(lines, i)))
-    start = F.get(ua_hits, 0)
-    next_hits = F.filter(idx, lambda i: (i > start) & is_ua(F.element_at(lines, i)))
-    stop = F.coalesce(F.get(next_hits, 0), n + 1)
-    group = F.filter(idx, lambda i: (i > start) & (i < stop))
+    idx = F.sequence(F.lit(1), F.size(lines))
+    scope = _star_scope_idx(lines, idx)
 
     def rule(i: Column) -> Column:
         line = F.element_at(lines, i)
@@ -127,21 +157,21 @@ def robots_rules_expr(text: Column) -> Column:
             alw != "", F.struct(alw.alias("prefix"), F.lit(True).alias("allow"))
         ).when(dis != "", F.struct(dis.alias("prefix"), F.lit(False).alias("allow")))
 
-    rules = F.array_compact(F.transform(group, rule))
+    rules = F.array_compact(F.transform(scope, rule))
     empty = F.array().cast("array<struct<prefix:string,allow:boolean>>")
-    return F.when(start.isNull(), empty).otherwise(rules)
+    return F.coalesce(rules, empty)
 
 
 def robots_allowed_rfc(frontier: DataFrame, robots: DataFrame) -> DataFrame:
     """RFC 9309 §2.2.2 verdict: among the rules whose prefix matches the
-    URL path, the LONGEST prefix wins; an Allow wins length ties; no
+    URL path?query, the LONGEST prefix wins; an Allow wins length ties; no
     matching rule (or no robots row) means allowed.
 
     ``robots(host, rules array<struct<prefix,allow>>)`` is the per-host dim
     from :func:`robots_rules_expr` — broadcast join, verdict evaluated with
     higher-order array functions entirely in codegen (no Python, no
     explode: the rule list never leaves its row)."""
-    path = F.coalesce(F.parse_url(F.col("url_canon"), F.lit("PATH")), F.lit("/"))
+    path = url_path_query_expr(F.col("url_canon"))
     joined = frontier.join(F.broadcast(robots.select("host", "rules")), "host", "left")
     matches = F.filter(F.col("rules"), lambda r: path.startswith(r["prefix"]))
     best = F.array_max(F.transform(matches, lambda r: F.length(r["prefix"])))
@@ -221,27 +251,16 @@ _CRAWL_DELAY_RE = r"(?i)^\s*crawl-delay\s*:\s*([0-9]+)"
 
 
 def crawl_delay_expr(text: Column) -> Column:
-    """``Crawl-delay`` seconds from the ``User-agent: *`` group of a raw
-    robots.txt body — NULL when absent/malformed. Same group-selection
-    rules (and the same codegen-only shape) as
-    :func:`robots_prefixes_expr`; first Crawl-delay in the group wins."""
+    """``Crawl-delay`` seconds from the ``User-agent: *`` scope of a raw
+    robots.txt body — NULL when absent/malformed. Same merged-group
+    selection (:func:`_star_scope_idx`) and codegen-only shape as
+    :func:`robots_prefixes_expr`; first Crawl-delay in scope (document
+    order across merged groups) wins."""
     lines = F.split(text, "\n")
-    n = F.size(lines)
-    idx = F.sequence(F.lit(1), n)
-
-    def is_ua(line: Column) -> Column:
-        return F.lower(F.ltrim(line)).startswith("user-agent:")
-
-    def is_ua_star(line: Column) -> Column:
-        return is_ua(line) & (F.trim(F.get(F.split(line, ":", 2), 1)) == F.lit("*"))
-
-    ua_hits = F.filter(idx, lambda i: is_ua_star(F.element_at(lines, i)))
-    start = F.get(ua_hits, 0)
-    next_hits = F.filter(idx, lambda i: (i > start) & is_ua(F.element_at(lines, i)))
-    stop = F.coalesce(F.get(next_hits, 0), n + 1)
-    group = F.filter(idx, lambda i: (i > start) & (i < stop))
+    idx = F.sequence(F.lit(1), F.size(lines))
+    scope = _star_scope_idx(lines, idx)
     vals = F.transform(
-        group,
+        scope,
         lambda i: F.regexp_extract(F.element_at(lines, i), _CRAWL_DELAY_RE, 1),
     )
     first = F.get(F.filter(vals, lambda v: v != ""), 0)

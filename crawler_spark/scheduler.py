@@ -533,7 +533,9 @@ def crawl(
             if os.path.exists(_ckpt(cfg, r, "metrics"))
         ]
     ) if rnd > 0 else spark.createDataFrame(
-        [], "round int, bucket int, scheduled long, fetch_ok long, admitted long"
+        [],
+        "round int, bucket int, scheduled long, fetch_ok long, admitted long, "
+        "url_sketch binary",
     )
     return CrawlResult(schedule=schedule, seen=seen, metrics=metrics, rounds=rnd)
 

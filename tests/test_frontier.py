@@ -121,6 +121,54 @@ def test_robots_allowed(spark):
     }
 
 
+def test_robots_matches_path_plus_query(spark):
+    """RFC 9309 matches rules against path?query — a 'Disallow: /search?q='
+    rule must block /search?q=... but not /search?lang=...; fragments are
+    stripped; a bare-authority URL matches as path '/'."""
+    frontier = spark.createDataFrame(
+        [
+            ("https://q.example/search?q=leak", "q.example"),
+            ("https://q.example/search?lang=en", "q.example"),
+            ("https://q.example/search", "q.example"),
+            ("https://q.example/page?q=ok#frag", "q.example"),
+            ("https://root.example", "root.example"),
+        ],
+        "url_canon string, host string",
+    )
+    robots = spark.createDataFrame(
+        [("q.example", ["/search?q="]), ("root.example", ["/"])],
+        "host string, disallow_prefixes array<string>",
+    )
+    got = {r["url_canon"] for r in robots_allowed(frontier, robots).collect()}
+    assert got == {
+        "https://q.example/search?lang=en",
+        "https://q.example/search",
+        "https://q.example/page?q=ok#frag",
+    }
+
+
+def test_crawl_delay_merged_star_groups(spark):
+    """Crawl-delay in a SECOND star group (or behind a stacked UA header)
+    still applies; first in merged document order wins."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.frontier.politeness import crawl_delay_expr
+
+    bodies = [
+        ("late", "User-agent: a\nCrawl-delay: 9\nUser-agent: *\nDisallow: /x\n"
+                 "User-agent: b\nCrawl-delay: 7\nUser-agent: *\nCrawl-delay: 4"),
+        ("stacked", "User-agent: c\nUser-agent: *\nCrawl-delay: 3"),
+        ("first_wins", "User-agent: *\nCrawl-delay: 2\nUser-agent: *\nCrawl-delay: 8"),
+        ("none", "User-agent: a\nCrawl-delay: 5"),
+    ]
+    df = spark.createDataFrame(bodies, "host string, robots_txt string")
+    got = {
+        r["host"]: r["d"]
+        for r in df.select("host", crawl_delay_expr(F.col("robots_txt")).alias("d")).collect()
+    }
+    assert got == {"late": 4, "stacked": 3, "first_wins": 2, "none": None}
+
+
 def test_politeness_budget_split(spark):
     rows = [
         ("h1", 0, 0, i, f"u{i}") for i in range(5)
@@ -305,29 +353,29 @@ def test_flat_outlinks_matches_kernel(spark):
 
 
 def test_robots_prefixes_expr_matches_oracle(spark):
-    """robots.txt parsing (User-agent:* group → Disallow prefixes): Spark
-    built-ins vs a line-for-line Python oracle of the documented spec."""
+    """robots.txt parsing (User-agent:* scope → Disallow prefixes): Spark
+    built-ins vs a line-for-line Python oracle of RFC 9309 grouping —
+    stacked UA lines share a group, and rules merge across every group
+    naming ``*``."""
     import re
 
     from crawler_spark.frontier.politeness import parse_robots
 
     def oracle(text: str) -> list[str]:
         lines = text.split("\n")
-        start = stop = None
-        for i, line in enumerate(lines):
-            low = line.lstrip().lower()
-            if low.startswith("user-agent:"):
-                value = line.split(":", 1)[1].strip()
-                if start is None and value == "*":
-                    start = i
-                elif start is not None:
-                    stop = i
-                    break
-        if start is None:
-            return []
+        is_ua = [ln.lstrip().lower().startswith("user-agent:") for ln in lines]
+        gid, gids, star_gids = 0, [], set()
+        for i, ln in enumerate(lines):
+            if is_ua[i] and (i == 0 or not is_ua[i - 1]):
+                gid += 1
+            gids.append(gid)
+            if is_ua[i] and ln.split(":", 1)[1].strip() == "*":
+                star_gids.add(gid)
         out = []
-        for line in lines[start + 1 : stop]:
-            m = re.match(r"(?i)^\s*disallow\s*:\s*(\S*)", line)
+        for i, ln in enumerate(lines):
+            if is_ua[i] or gids[i] not in star_gids or gids[i] == 0:
+                continue
+            m = re.match(r"(?i)^\s*disallow\s*:\s*(\S*)", ln)
             if m and m.group(1):
                 out.append(m.group(1))
         return out
@@ -335,7 +383,7 @@ def test_robots_prefixes_expr_matches_oracle(spark):
     bodies = [
         # normal group with comment, empty Disallow, lowercase directive
         "# c\nUser-agent: *\nDisallow: /a\ndisallow: /B\nDisallow:\nAllow: /x",
-        # star group after a named group; stops at the next group
+        # star group after a named group; a later non-star group is excluded
         "User-agent: g\nDisallow: /g\nUser-agent: *\nDisallow: /z\nUser-agent: h\nDisallow: /h",
         # star group at EOF
         "User-agent: a\nDisallow: /1\nUser-agent: *\nDisallow: /tail",
@@ -343,8 +391,15 @@ def test_robots_prefixes_expr_matches_oracle(spark):
         "User-agent: only\nDisallow: /only",
         "",
         "  User-Agent:   *  \n   DISALLOW:    /WS",
-        # star group immediately followed by another UA line (empty group)
+        # stacked UA: * and b share ONE group, so /b IS in star scope
         "User-agent: *\nUser-agent: b\nDisallow: /b",
+        # two star groups: rules merge in document order (RFC 9309 §2.2.1)
+        "User-agent: *\nDisallow: /one\nUser-agent: x\nDisallow: /x\n"
+        "User-agent: *\nDisallow: /two",
+        # stacked UA where * is second in the run
+        "User-agent: y\nUser-agent: *\nDisallow: /shared",
+        # preamble rule line before any group is ignored
+        "Disallow: /floating\nUser-agent: *\nDisallow: /real",
     ]
     df = spark.createDataFrame(
         [(i, b) for i, b in enumerate(bodies)], ["host", "robots_txt"]
