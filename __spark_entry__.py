@@ -150,6 +150,52 @@ def q_rule_xpath_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.explode(arr).alias("h1_text"))
 
 
+def q_rule_xpath_axes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 with explicit XPath axes (vendor/.../xmlpath/doc.go:15-16 "All
+    axes are supported, except for the namespace axis"; axis dispatch in
+    path.go): the label→value table idiom ``following-sibling::td``, an
+    ``ancestor::`` hop, ``following::`` with a parenthesized predicate
+    (doc.go:19), and reverse-axis nearest-first indexing. Pages are
+    synthesized from deterministic doc_id arithmetic, so the oracle states
+    the expected strings from the generating formula — ground truth by
+    construction. One parse per row (all four rules share a struct)."""
+    from crawler_spark.rules.spark import XPathRule, xpath_struct_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.format_string(
+        "<html><body><table>"
+        "<tr><th>price</th><td>P%d</td><td>extra</td></tr>"
+        "<tr><th>stock</th><td>S%d</td></tr>"
+        "</table>"
+        '<div class="a" data-x="1">D%d</div><div class="b">E%d</div>'
+        "</body></html>",
+        F.col("doc_id") % 97,
+        F.col("doc_id") % 7,
+        F.col("doc_id") % 5,
+        F.col("doc_id") % 3,
+    )
+    fields = xpath_struct_expr(
+        html,
+        {
+            "price": XPathRule("//th[text()='price']/following-sibling::td[1]"),
+            "stock": XPathRule("//th[text()='stock']/following-sibling::td"),
+            "promo": XPathRule(
+                "//table/following::div[(@class='a' or @class='b') and @data-x]"
+            ),
+            "tail_div": XPathRule("//td/ancestor::table/following-sibling::div[2]"),
+            "label_back": XPathRule("//td[text()='extra']/preceding-sibling::td[1]"),
+        },
+    )
+    return docs.select(
+        "doc_id",
+        fields["price"].alias("price"),
+        fields["stock"].alias("stock"),
+        fields["promo"].alias("promo"),
+        fields["tail_div"].alias("tail_div"),
+        fields["label_back"].alias("label_back"),
+    )
+
+
 def q_jd_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P9 transStringFunc vocabulary of the jd example (example/jd/main.go):
     count-occurrences (:60,106 — size(split)-1), min-over-parsed-ints
@@ -2318,6 +2364,8 @@ _R2_FRONT = [
     "sessionize",
     # quirk-critical P4 per-level-distinct cut rule
     "rule_cut_all",
+    # new this round: explicit XPath axes + parenthesized predicates
+    "rule_xpath_axes",
     # file-format roundtrips
     "csv_roundtrip",
     "jsonl_roundtrip",
@@ -2406,6 +2454,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_noop": q_rule_noop,
         "rule_xpath_first": q_rule_xpath_first,
         "rule_xpath_all": q_rule_xpath_all,
+        "rule_xpath_axes": q_rule_xpath_axes,
         "jd_transforms": q_jd_transforms,
         "outlink_tokens": q_outlink_tokens,
         # sources (SURVEY §2.1)
@@ -2912,6 +2961,15 @@ FROM documents""",
             # synthesized page has an <h1> (doc_id % 3 != 0) survive
             "SELECT doc_id, substr(text, 1, 30) AS h1_text FROM documents "
             "WHERE doc_id % 3 <> 0 AND coalesce(substr(text, 1, 30), '') <> ''"
+        ),
+        "rule_xpath_axes": (
+            # pages are synthesized from doc_id arithmetic; expected strings
+            # restated from the generating formula (ground truth by
+            # construction, like robots_crawl_delay)
+            "SELECT doc_id, 'P' || (doc_id % 97) AS price, "
+            "'S' || (doc_id % 7) AS stock, 'D' || (doc_id % 5) AS promo, "
+            "'E' || (doc_id % 3) AS tail_div, 'P' || (doc_id % 97) AS label_back "
+            "FROM documents"
         ),
         "jd_transforms": f"""
 SELECT doc_id,

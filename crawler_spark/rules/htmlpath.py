@@ -8,19 +8,25 @@ lxml is not available in this environment, so this module implements:
 * a tolerant HTML parser (``html.parser.HTMLParser``) producing an element
   tree normalized to the html>head>body shape that ``x/net/html.Parse``
   guarantees (fragments get an implicit html/head/body);
-* an XPath-subset evaluator covering the abbreviated syntax the vendored
-  engine documents (vendor/.../xmlpath/doc.go:10-20): ``/``, ``//``, ``*``,
-  name tests, ``@attr``, ``.``, ``..``, ``text()``, and predicates
-  ``[N]``, ``[@a]``, ``[@a="v"]``, ``[path]``, ``[path="v"]``,
-  ``[text()="v"]``, ``[contains(x, "v")]``, ``[not(p)]``, ``and``/``or``;
+* an XPath-subset evaluator covering the syntax the vendored engine
+  documents (vendor/.../xmlpath/doc.go:10-20): ``/``, ``//``, ``*``,
+  name tests, ``@attr``, ``.``, ``..``, ``text()``, ``node()``; explicit
+  axes (``child::``, ``descendant::``, ``descendant-or-self::``,
+  ``self::``, ``parent::``, ``ancestor::``, ``ancestor-or-self::``,
+  ``following-sibling::``, ``preceding-sibling::``, ``following::``,
+  ``preceding::``, ``attribute::`` — every axis but namespace, matching
+  doc.go:15-16; reverse axes position-count nearest-first per spec); and
+  predicates ``[N]``, ``[last()]``, ``[position()=N]``, ``[@a]``,
+  ``[@a="v"]``, ``[path]``, ``[path="v"]``, ``[text()="v"]``,
+  ``[contains(x, "v")]``, ``[not(p)]``, joined with ``and``/``or`` and
+  parenthesized grouping (doc.go:19);
 * XPath *string-value* semantics: the value of an element node is the
   concatenation of all descendant text nodes in document order
   (vendor/.../xmlpath/parser.go:45-60); first match = smallest document
   order (vendor/.../xmlpath/path.go:41-47).
 
-Explicit axes (``child::`` etc.) are not implemented — the reference's
-example workload (/root/reference/example/jd/main.go:116-141) and our
-fixtures use abbreviated syntax only.
+Comment/processing-instruction node tests are not modeled (the stdlib
+parser drops them; rare in scraping rules).
 """
 
 from __future__ import annotations
@@ -229,21 +235,154 @@ def _split_steps(path: str) -> list[tuple[bool, str]]:
 
 _PRED_SPLIT_RE = re.compile(r"^([^\[\]]*)((?:\[[^\[\]]*\])*)$")
 
+#: explicit axes (XPath §2.2); namespace axis excluded like the vendored
+#: engine ("All axes are supported, except for the namespace axis",
+#: vendor/.../xmlpath/doc.go:15-16). Reverse axes position-count in reverse
+#: document order per spec.
+_AXES = frozenset(
+    "child descendant descendant-or-self self parent ancestor "
+    "ancestor-or-self following-sibling preceding-sibling following "
+    "preceding attribute".split()
+)
+_REVERSE_AXES = frozenset(
+    "parent ancestor ancestor-or-self preceding-sibling preceding".split()
+)
 
-def _parse_step(step: str) -> tuple[str, list[str]]:
+
+def _parse_step(step: str) -> tuple[str | None, str, list[str]]:
+    """Step → (explicit axis | None, node test, predicates)."""
     m = _PRED_SPLIT_RE.match(step)
     if not m:
         raise XPathError(f"bad step {step!r}")
     test = m.group(1)
     preds = re.findall(r"\[([^\[\]]*)\]", m.group(2))
-    return test, preds
+    axis = None
+    if "::" in test:
+        axis, _, test = test.partition("::")
+        axis = axis.strip()
+        test = test.strip()
+        if axis not in _AXES:
+            raise XPathError(f"unknown axis {axis!r}")
+    return axis, test, preds
 
 
-def _node_test(nodes: list[Node], test: str, desc: bool) -> list[list[Node]]:
+def _ancestors(node: Node) -> list[Node]:
+    out, p = [], node.parent
+    while p is not None:
+        out.append(p)
+        p = p.parent
+    return out  # nearest first (reverse document order — axis order)
+
+
+def _axis_pool(ctx, axis: str) -> list:
+    """Nodes on ``axis`` from ``ctx``, in AXIS order (reverse axes nearest
+    first so positional predicates count per spec; :func:`_evaluate`'s final
+    sort restores document order)."""
+    if isinstance(ctx, AttrNode):
+        # XPath: an attribute's parent is its owner element; it has no
+        # children/siblings, and its ancestors are the owner's or-self chain
+        if axis == "self":
+            return [ctx]
+        if axis == "parent":
+            return [ctx.owner]
+        if axis in ("ancestor", "ancestor-or-self"):
+            base = [ctx.owner] + _ancestors(ctx.owner)
+            return ([ctx] + base) if axis == "ancestor-or-self" else base
+        return []
+    if axis == "child":
+        return list(ctx.children)
+    if axis == "descendant":
+        return list(ctx.iter_descendants())[1:]
+    if axis == "descendant-or-self":
+        return list(ctx.iter_descendants())
+    if axis == "self":
+        return [ctx]
+    if axis == "parent":
+        return [ctx.parent] if ctx.parent is not None else []
+    if axis == "ancestor":
+        return _ancestors(ctx)
+    if axis == "ancestor-or-self":
+        return [ctx] + _ancestors(ctx)
+    if axis in ("following-sibling", "preceding-sibling"):
+        if ctx.parent is None:
+            return []
+        sibs = ctx.parent.children
+        i = next((k for k, n in enumerate(sibs) if n is ctx), None)
+        if i is None:
+            return []
+        if axis == "following-sibling":
+            return sibs[i + 1 :]
+        return list(reversed(sibs[:i]))  # nearest first
+    if axis in ("following", "preceding"):
+        root = ctx
+        while root.parent is not None:
+            root = root.parent
+        anc = set(id(a) for a in _ancestors(ctx))
+        if axis == "following":
+            # after ctx in doc order, excluding ctx's own descendants
+            after = [
+                n
+                for n in root.iter_descendants()
+                if n.ord > ctx.ord and not _is_descendant_of(n, ctx)
+            ]
+            return after
+        before = [
+            n for n in root.iter_descendants() if n.ord < ctx.ord and id(n) not in anc
+        ]
+        return list(reversed(before))  # nearest first
+    raise XPathError(f"unknown axis {axis!r}")
+
+
+def _is_descendant_of(node: Node, anc: Node) -> bool:
+    p = node.parent
+    while p is not None:
+        if p is anc:
+            return True
+        p = p.parent
+    return False
+
+
+def _apply_test(pool: list, test: str) -> list:
+    """Filter an axis pool by a node test (principal node type = element)."""
+    if test == "text()":
+        return [n for n in pool if not isinstance(n, AttrNode) and n.kind == TEXT]
+    if test == "node()":
+        return list(pool)
+    if test == "*":
+        return [n for n in pool if not isinstance(n, AttrNode) and n.kind == ELEMENT]
+    return [
+        n for n in pool if not isinstance(n, AttrNode) and n.kind == ELEMENT and n.tag == test
+    ]
+
+
+def _node_test(nodes: list[Node], axis: str | None, test: str, desc: bool) -> list[list[Node]]:
     """Apply a node test per context node; returns per-context result lists
     (grouping is required for positional predicates)."""
     out: list[list[Node]] = []
     for ctx in nodes:
+        if axis is not None:
+            # explicit axis step; under ``//`` the context first expands to
+            # descendant-or-self (flattened into the ctx's one group, doc
+            # order, matching the abbreviated ``//`` grouping below)
+            bases = list(ctx.iter_descendants()) if desc else [ctx]
+            if axis == "attribute":
+                sel = []
+                for b in bases:
+                    if not isinstance(b, AttrNode) and b.kind == ELEMENT:
+                        if test == "*":
+                            sel.extend(AttrNode(b, k) for k in b.attrs)
+                        elif test in b.attrs:
+                            sel.append(AttrNode(b, test))
+            else:
+                sel = []
+                seen_ids: set[int] = set()
+                for b in bases:
+                    for n in _apply_test(_axis_pool(b, axis), test):
+                        if id(n) not in seen_ids:
+                            seen_ids.add(id(n))
+                            sel.append(n)
+            out.append(sel)
+            continue
         if test == ".":
             out.append([ctx])
             continue
@@ -258,11 +397,7 @@ def _node_test(nodes: list[Node], test: str, desc: bool) -> list[list[Node]]:
         else:
             pool_with_self = [ctx]
             pool = ctx.children
-        if test == "text()":
-            sel = [n for n in pool if n.kind == TEXT]
-        elif test == "node()":
-            sel = list(pool)
-        elif test.startswith("@"):
+        if test.startswith("@"):
             # attribute pseudo-nodes represented as (element, attrname) via AttrNode
             name = test[1:]
             sel = []
@@ -272,10 +407,8 @@ def _node_test(nodes: list[Node], test: str, desc: bool) -> list[list[Node]]:
                         sel.extend(AttrNode(n, k) for k in n.attrs)
                     elif name in n.attrs:
                         sel.append(AttrNode(n, name))
-        elif test == "*":
-            sel = [n for n in pool if n.kind == ELEMENT]
         else:
-            sel = [n for n in pool if n.kind == ELEMENT and n.tag == test]
+            sel = _apply_test(pool, test)
         out.append(sel)
     return out
 
@@ -304,6 +437,56 @@ class AttrNode:
 _CONTAINS_RE = re.compile(r"^contains\(\s*(.+?)\s*,\s*(\"[^\"]*\"|'[^']*')\s*\)$")
 _NOT_RE = re.compile(r"^not\(\s*(.+)\s*\)$")
 _CMP_RE = re.compile(r"^(.+?)\s*=\s*(\"[^\"]*\"|'[^']*')$")
+_POSITION_RE = re.compile(r"^position\(\)\s*=\s*(\d+)$")
+
+
+def _split_top(pred: str, op: str) -> list[str]:
+    """Split ``pred`` on ``op`` occurrences at paren/bracket depth 0 outside
+    quotes — the tokenizer behind ``and``/``or`` precedence and
+    parenthesized grouping (vendor/.../xmlpath/doc.go:19: predicates "may
+    be joined with 'or', 'and', and parenthesis")."""
+    parts: list[str] = []
+    depth, quote, start, i, n = 0, "", 0, 0, len(pred)
+    while i < n:
+        ch = pred[i]
+        if quote:
+            if ch == quote:
+                quote = ""
+        elif ch in "\"'":
+            quote = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif depth == 0 and pred.startswith(op, i):
+            parts.append(pred[start:i])
+            start = i + len(op)
+            i = start
+            continue
+        i += 1
+    parts.append(pred[start:])
+    return parts
+
+
+def _strippable_parens(pred: str) -> bool:
+    """True when pred is '(...)' with the opening paren matching the LAST
+    char — i.e. the parens wrap the whole expression."""
+    if not (pred.startswith("(") and pred.endswith(")")):
+        return False
+    depth, quote = 0, ""
+    for i, ch in enumerate(pred):
+        if quote:
+            if ch == quote:
+                quote = ""
+        elif ch in "\"'":
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i == len(pred) - 1
+    return False
 
 
 def _operand_values(node: Node, expr: str) -> list[str]:
@@ -318,19 +501,14 @@ def _operand_values(node: Node, expr: str) -> list[str]:
 
 def _eval_predicate(pred: str, node: Node, pos: int, size: int) -> bool:
     pred = pred.strip()
-    # and / or (left-assoc, no parens support beyond not(...))
+    # boolean grammar: or_expr := and_expr (' or ' and_expr)*;
+    # and_expr := unary (' and ' unary)*; unary := '(' expr ')' | not(...) | atom
     for op, fn in ((" or ", any), (" and ", all)):
-        depth = 0
-        quote = ""
-        k = pred.find(op)
-        while k != -1:
-            # ensure split point not inside quotes/parens
-            seg = pred[:k]
-            if seg.count("(") == seg.count(")") and seg.count('"') % 2 == 0 and seg.count("'") % 2 == 0:
-                parts = [pred[:k], pred[k + len(op):]]
-                return fn(_eval_predicate(p, node, pos, size) for p in parts)
-            k = pred.find(op, k + 1)
-        _ = depth, quote
+        parts = _split_top(pred, op)
+        if len(parts) > 1:
+            return fn(_eval_predicate(p, node, pos, size) for p in parts)
+    if _strippable_parens(pred):
+        return _eval_predicate(pred[1:-1], node, pos, size)
     m = _NOT_RE.match(pred)
     if m:
         return not _eval_predicate(m.group(1), node, pos, size)
@@ -338,6 +516,9 @@ def _eval_predicate(pred: str, node: Node, pos: int, size: int) -> bool:
         return pos == int(pred)
     if pred == "last()":
         return pos == size
+    m = _POSITION_RE.match(pred)
+    if m:
+        return pos == int(m.group(1))
     m = _CONTAINS_RE.match(pred)
     if m:
         needle = m.group(2)[1:-1]
@@ -353,8 +534,8 @@ def _eval_predicate(pred: str, node: Node, pos: int, size: int) -> bool:
 def _evaluate(steps: list[tuple[bool, str]], context: list) -> list:
     nodes = context
     for desc, step in steps:
-        test, preds = _parse_step(step)
-        grouped = _node_test(nodes, test, desc)
+        axis, test, preds = _parse_step(step)
+        grouped = _node_test(nodes, axis, test, desc)
         nxt = []
         for group in grouped:
             sel = group

@@ -102,3 +102,109 @@ def test_visible_text():
 def test_xpath_rule_trans():
     out = core.xpath_get_first(DOC, '//*[@id="mainframe"]/div[2]/div[2]/a[1]/i', str.strip)
     assert out == "42"
+
+
+# ---------------------------------------------------------------------------
+# explicit axes (vendor doc.go:15 "All axes are supported, except namespace")
+# ---------------------------------------------------------------------------
+
+TABLE = """
+<table>
+  <tr><th>k1</th><td>v1</td><td>v1b</td></tr>
+  <tr><th>k2</th><td>v2</td></tr>
+</table>
+<div class="after">tail</div>
+"""
+
+
+def test_axis_child_equals_abbreviated():
+    assert html_xpath_first(DOC, "/child::html/child::body/child::div/child::div[1]") == "first"
+
+
+def test_axis_following_sibling():
+    # the very common scraping idiom: label -> value cell
+    assert html_xpath_first(TABLE, "//th[text()='k1']/following-sibling::td") == "v1"
+    assert html_xpath_first(TABLE, "//th[text()='k2']/following-sibling::td") == "v2"
+    vals = [n.string_value() for n in xpath_all(parse_html(TABLE), "//th/following-sibling::td")]
+    assert vals == ["v1", "v1b", "v2"]
+
+
+def test_axis_preceding_sibling_reverse_positions():
+    # preceding-sibling::td[1] = NEAREST preceding td (reverse axis order)
+    assert html_xpath_first(TABLE, "//td[text()='v1b']/preceding-sibling::td[1]") == "v1"
+    assert html_xpath_first(TABLE, "//td[text()='v1b']/preceding-sibling::th[1]") == "k1"
+
+
+def test_axis_ancestor_and_or_self():
+    root = parse_html(DOC)
+    deep = xpath_all(root, "//span")[0]
+    tags = [n.tag for n in xpath_all(deep, "ancestor::div")]
+    # doc-order output: outermost first
+    assert tags == ["div", "div", "div"]
+    assert html_xpath_first(DOC, "//span/ancestor::div[1]/parent::div/@id") is None  # inner div has no id
+    assert html_xpath_first(DOC, "//span/ancestor::*[@id]/@id") == "mainframe"
+    ors = xpath_all(deep, "ancestor-or-self::*")
+    assert ors[-1] is deep
+
+
+def test_axis_parent_self_descendant():
+    assert html_xpath_first(DOC, "//span/parent::div/self::div/descendant::span") == "deep"
+    assert html_xpath_first(DOC, "//body/descendant-or-self::p") == "Hello World"
+
+
+def test_axis_following_preceding():
+    # following:: excludes descendants; preceding:: excludes ancestors
+    assert html_xpath_first(TABLE, "//table/following::div") == "tail"
+    root = parse_html(TABLE)
+    last_td = xpath_all(root, "//td[text()='v2']")[0]
+    prec = [n.tag for n in xpath_all(last_td, "preceding::th")]
+    assert prec == ["th", "th"]  # both headers precede, neither is an ancestor
+    # preceding::th[1] = nearest = k2's own header
+    assert html_xpath_first(TABLE, "//td[text()='v2']/preceding::th[1]") == "k2"
+
+
+def test_axis_attribute():
+    assert html_xpath_first(DOC, "//a/attribute::href") == "/x"
+    assert html_xpath_first(DOC, "//img/attribute::src") == "a.png"
+
+
+def test_axis_inside_predicate():
+    # predicate operand using an explicit axis
+    assert html_xpath_first(TABLE, "//td[preceding-sibling::th='k2']") == "v2"
+
+
+def test_unknown_axis_is_error():
+    assert html_xpath_first(DOC, "//namespace::x") is None
+    assert html_xpath_first(DOC, "//bogus::div") is None
+
+
+# ---------------------------------------------------------------------------
+# parenthesized predicate grouping (vendor doc.go:19)
+# ---------------------------------------------------------------------------
+
+PRED_DOC = """
+<ul>
+  <li class="a" data-x="1">A</li>
+  <li class="b">B</li>
+  <li class="c" data-x="1">C</li>
+  <li class="a">D</li>
+</ul>
+"""
+
+
+def test_parenthesized_predicates():
+    root = parse_html(PRED_DOC)
+    got = [n.string_value() for n in xpath_all(root, "//li[(@class='a' or @class='c') and @data-x]")]
+    assert got == ["A", "C"]
+    # without parens, 'or' binds loosest: a OR (c and data-x)
+    got2 = [n.string_value() for n in xpath_all(root, "//li[@class='a' or @class='c' and @data-x]")]
+    assert got2 == ["A", "C", "D"]
+    got3 = [n.string_value() for n in xpath_all(root, "//li[not((@class='a' or @class='c'))]")]
+    assert got3 == ["B"]
+    got4 = [n.string_value() for n in xpath_all(root, "//li[(not(@data-x)) and (@class='a')]")]
+    assert got4 == ["D"]
+
+
+def test_position_function():
+    root = parse_html(PRED_DOC)
+    assert [n.string_value() for n in xpath_all(root, "//li[position()=2]")] == ["B"]
