@@ -2073,26 +2073,82 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rows-only queries (no SQL oracle: stateful BSP loop / approximate / stub)
 # ---------------------------------------------------------------------------
 
+#: arithmetic crawl fixture knobs (shared by the Spark query and its DuckDB
+#: BFS oracle twin _sql_crawl_bsp — change together)
+CRAWL_H, CRAWL_P, CRAWL_ROUNDS = 6, 12, 3
+
+
 def q_crawl_bsp_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship operator: 3 BSP frontier rounds (canonicalize → bloom+
     exact seen-dedup → robots → politeness window → fetch-as-join → outlink
-    expansion) over the deterministic synthetic corpus. Stateful loop with
-    checkpoints — not SQL-expressible; correctness is pinned by
-    tests/test_crawl_e2e.py against the pure-Python oracle crawler."""
+    expansion) run by the REAL scheduler.crawl engine over an ARITHMETIC
+    corpus (every link target a pure function of (host, page)), so the
+    whole crawl — schedule order, seq assignment, robots prefix blocks,
+    politeness deferral, fetch misses — is replayable as unrolled chained
+    CTEs in DuckDB (_sql_crawl_bsp): the north_rule "matching crawl
+    ordering" invariant as a value-exact hash check, not rows-only. The
+    RNG-corpus variant of the same engine stays pinned against the
+    pure-Python oracle in tests/test_crawl_e2e.py.
+
+    Corpus: H=6 hosts × P=12 pages; page (h,p) links, in document order:
+    /p/{p+1}, /p/{p+2} (if < P), cross-host
+    https://h{(h+1+p)%%H}.example/p/{(p*5+1)%%P}, /p/0, a duplicate of the
+    cross link (per-page-distinct exercise), and /dead/{p} when p%%4==3
+    (fetch-miss exercise). Seeds: every host at /p/0, priority h%%2, seq h.
+    Robots: even hosts disallow prefix '/p/1' (also blocks /p/10, /p/11 —
+    prefix semantics). Politeness: budget 2+(h%%2)."""
     import tempfile
 
-    from crawler_spark.corpus.generator import make_corpus
     from crawler_spark.scheduler import CrawlConfig, crawl
 
-    tables = make_corpus(seed=42, n_hosts=10, pages_per_host=12)
-    pages = spark.createDataFrame(tables["pages"])
-    seeds = spark.createDataFrame(tables["seeds"])
-    robots = spark.createDataFrame(tables["robots"])
-    politeness = spark.createDataFrame(tables["politeness"])
+    H, P = CRAWL_H, CRAWL_P
+    hp = spark.range(H).select(F.col("id").alias("h")).crossJoin(
+        spark.range(P).select(F.col("id").alias("p"))
+    )
+    a_link = F.when(
+        F.col("p") + 1 < P, F.format_string('<a href="/p/%d">a</a>', F.col("p") + 1)
+    ).otherwise(F.lit(""))
+    b_link = F.when(
+        F.col("p") + 2 < P, F.format_string('<a href="/p/%d">b</a>', F.col("p") + 2)
+    ).otherwise(F.lit(""))
+    cross = F.format_string(
+        '<a href="https://h%d.example/p/%d">c</a>',
+        (F.col("h") + 1 + F.col("p")) % H,
+        (F.col("p") * 5 + 1) % P,
+    )
+    dead = F.when(
+        F.col("p") % 4 == 3, F.format_string('<a href="/dead/%d">e</a>', F.col("p"))
+    ).otherwise(F.lit(""))
+    pages = hp.select(
+        F.format_string("https://h%d.example/p/%d", F.col("h"), F.col("p")).alias("url"),
+        F.concat(
+            F.lit("<html><body>"),
+            a_link,
+            b_link,
+            cross,
+            F.lit('<a href="/p/0">d</a>'),
+            cross,  # in-page duplicate — dropped by per-page distinct
+            dead,
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+    seeds = spark.range(H).select(
+        F.format_string("https://h%d.example/p/0", F.col("id")).alias("url"),
+        (F.col("id") % 2).cast("int").alias("priority"),
+        F.col("id").cast("long").alias("seq"),
+    )
+    robots = spark.range(0, H, 2).select(
+        F.format_string("h%d.example", F.col("id")).alias("host"),
+        F.array(F.lit("/p/1")).alias("disallow_prefixes"),
+    )
+    politeness = spark.range(H).select(
+        F.format_string("h%d.example", F.col("id")).alias("host"),
+        (F.lit(2) + (F.col("id") % 2)).cast("int").alias("max_fetches_per_round"),
+    )
     ckpt = tempfile.mkdtemp(prefix="entry_crawl_")
-    cfg = CrawlConfig(checkpoint_dir=ckpt, max_rounds=3, n_buckets=8)
+    cfg = CrawlConfig(checkpoint_dir=ckpt, max_rounds=CRAWL_ROUNDS, n_buckets=8)
     res = crawl(spark, pages, seeds, robots, politeness, cfg)
-    return res.schedule.select("round", "host", "url", "priority", "seq")
+    return res.schedule.select("round", "host", "url", "priority", "seq", "fetched")
 
 
 def q_stream_crawl_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2366,6 +2422,8 @@ _R2_FRONT = [
     "rule_cut_all",
     # new this round: explicit XPath axes + parenthesized predicates
     "rule_xpath_axes",
+    # upgraded this round from rows-only to a hashed DuckDB BFS oracle
+    "crawl_bsp_rounds",
     # file-format roundtrips
     "csv_roundtrip",
     "jsonl_roundtrip",
@@ -2428,7 +2486,6 @@ _R2_FRONT = [
     "orders_month_seasonality",
     "user_event_sequence",
     # rows-only (weakest driver check — spend window slots last)
-    "crawl_bsp_rounds",
     "stream_crawl_rounds",
     "ann_lsh_topk",
     "multimodal_features",
@@ -2618,6 +2675,105 @@ def _sql_simhash(bits: int) -> str:
         f"s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id) "
         f"SELECT doc_id, ({assemble})::BIGINT AS simhash FROM s"
     )
+
+
+def _sql_crawl_bsp() -> str:
+    """DuckDB twin of q_crawl_bsp_rounds: the 3 BSP rounds unrolled as
+    chained CTEs over the same arithmetic corpus (CLAUDE.md fixed-iteration
+    rule). Replays, per round: per-host politeness window (row_number ≤
+    budget), fetch = corpus membership, outlink expansion with per-page
+    positions from the generating formula, batch first-occurrence dedup,
+    seen anti-join (seen grows PRE-robots, like the engine), robots prefix
+    filter, and two-phase-equivalent seq assignment (row_number over
+    admission order + running offset)."""
+    H, P = CRAWL_H, CRAWL_P
+    even_hosts = ", ".join(f"'h{h}.example'" for h in range(0, H, 2))
+    parts = [
+        f"""WITH corpus AS (
+  SELECT h, p, 'https://h' || h || '.example/p/' || p AS url,
+         'h' || h || '.example' AS host
+  FROM range({H}) t(h), range({P}) u(p)),
+links AS (
+  SELECT h, p, pos, child, child_host FROM (
+    SELECT h, p, 0 AS pos,
+           'https://h' || h || '.example/p/' || (p+1) AS child, host AS child_host
+    FROM corpus WHERE p + 1 < {P}
+    UNION ALL
+    SELECT h, p, CASE WHEN p+1 < {P} THEN 1 ELSE 0 END,
+           'https://h' || h || '.example/p/' || (p+2), host
+    FROM corpus WHERE p + 2 < {P}
+    UNION ALL
+    SELECT h, p,
+           (CASE WHEN p+1 < {P} THEN 1 ELSE 0 END) + (CASE WHEN p+2 < {P} THEN 1 ELSE 0 END),
+           'https://h' || ((h+1+p) % {H}) || '.example/p/' || ((p*5+1) % {P}),
+           'h' || ((h+1+p) % {H}) || '.example'
+    FROM corpus
+    UNION ALL
+    SELECT h, p,
+           (CASE WHEN p+1 < {P} THEN 1 ELSE 0 END) + (CASE WHEN p+2 < {P} THEN 1 ELSE 0 END) + 1,
+           'https://h' || h || '.example/p/0', host
+    FROM corpus
+    UNION ALL
+    SELECT h, p,
+           (CASE WHEN p+1 < {P} THEN 1 ELSE 0 END) + (CASE WHEN p+2 < {P} THEN 1 ELSE 0 END) + 2,
+           'https://h' || h || '.example/dead/' || p, host
+    FROM corpus WHERE p % 4 = 3
+  )),
+budget AS (SELECT 'h' || h || '.example' AS host, 2 + (h % 2) AS b FROM range({H}) t(h)),
+frontier0 AS (
+  SELECT 'https://h' || h || '.example/p/0' AS url, 'h' || h || '.example' AS host,
+         (h % 2) AS priority, 0 AS round_added, h AS seq
+  FROM range({H}) s(h)),
+seen0 AS (SELECT url FROM frontier0),
+off0 AS (SELECT count(*) AS v FROM frontier0)"""
+    ]
+    for n in range(CRAWL_ROUNDS):
+        parts.append(
+            f""",
+r{n}_rank AS (
+  SELECT f.*, row_number() OVER (PARTITION BY f.host
+      ORDER BY f.priority, f.round_added, f.seq) AS rk
+  FROM frontier{n} f),
+r{n}_sched AS (SELECT r.* FROM r{n}_rank r JOIN budget b USING (host) WHERE r.rk <= b.b),
+r{n}_out AS (
+  SELECT {n} AS round, s.host, s.url, s.priority, s.seq,
+         EXISTS (SELECT 1 FROM corpus c WHERE c.url = s.url) AS fetched
+  FROM r{n}_sched s),
+r{n}_links AS (
+  SELECT l.child AS url, l.child_host AS host,
+         s.priority * 1099511627776 + s.seq AS fa, l.pos AS fb
+  FROM r{n}_sched s JOIN corpus c ON c.url = s.url
+       JOIN links l ON l.h = c.h AND l.p = c.p),
+r{n}_cand AS (
+  SELECT url, host, fa, fb FROM (
+    SELECT url, host, fa, fb,
+           row_number() OVER (PARTITION BY url ORDER BY fa, fb) AS rn
+    FROM r{n}_links) WHERE rn = 1),
+r{n}_fresh AS (
+  SELECT c.* FROM r{n}_cand c
+  WHERE NOT EXISTS (SELECT 1 FROM seen{n} s WHERE s.url = c.url)),
+seen{n + 1} AS (SELECT url FROM seen{n} UNION ALL SELECT url FROM r{n}_fresh),
+r{n}_new AS (
+  SELECT url, host, 0 AS priority, {n + 1} AS round_added,
+         (SELECT v FROM off{n}) + row_number() OVER (ORDER BY fa, fb) - 1 AS seq
+  FROM r{n}_fresh
+  WHERE NOT (host IN ({even_hosts})
+             AND regexp_extract(url, 'https://[^/]+(/.*)', 1) LIKE '/p/1%')),
+off{n + 1} AS (SELECT (SELECT v FROM off{n}) + count(*) AS v FROM r{n}_new),
+frontier{n + 1} AS (
+  SELECT r.url, r.host, r.priority, r.round_added, r.seq
+  FROM r{n}_rank r JOIN budget b USING (host) WHERE r.rk > b.b
+  UNION ALL
+  SELECT url, host, priority, round_added, seq FROM r{n}_new)"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM r{n}_out" for n in range(CRAWL_ROUNDS))
+    parts.append(
+        f"""
+SELECT CAST(round AS INT) AS round, host, url,
+       CAST(priority AS INT) AS priority, CAST(seq AS BIGINT) AS seq, fetched
+FROM ({union})"""
+    )
+    return "".join(parts)
 
 
 def _sql_lsh_est_jaccard() -> str:
@@ -3331,6 +3487,7 @@ WITH g AS (
 SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM g GROUP BY user_id""",
         "rule_cut_all": _sql_cut_all(),
+        "crawl_bsp_rounds": _sql_crawl_bsp(),
         "dedup_keep_first": (
             f"SELECT doc_id, source, n_chars FROM documents "
             f"QUALIFY row_number() OVER (PARTITION BY {_FP} ORDER BY doc_id) = 1"

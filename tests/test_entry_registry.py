@@ -26,7 +26,6 @@ def test_all_query_entries_callable_and_rows_only_documented():
     # adding a new oracle-less query silently weakens the gate, so list it here
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
-        "crawl_bsp_rounds",
         "stream_crawl_rounds",
         "ann_lsh_topk",
         "multimodal_features",
