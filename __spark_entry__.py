@@ -1791,6 +1791,18 @@ def q_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_near_dups(emb, threshold=0.3)
 
 
+def q_lsh_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed ANN tier as a hash-checked operator (not just the
+    broadcast exact tier): sign-pattern LSH bucket per vector, exact
+    cosine pair join WITHIN buckets only (equi-self-join on bucket id —
+    the plan tests/test_plans.py pins as BNLJ-free). Deterministic seeded
+    LCG hyperplanes are embedded in the DuckDB twin as literals. The
+    n_centroids sizing rule for the IVF sibling is
+    similarity.ivf_n_centroids (C = max(16, N/1024))."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.lsh_bucket_pairs(emb, n_planes=6, dim=64, threshold=0.2)
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: IVF-cluster embeddings → within-cluster cosine ≥ 0.35
     pairs → connected components → one keeper per semantic cluster."""
@@ -2444,6 +2456,7 @@ _R2_FRONT = [
     "embedding_topk",
     "ann_ivf_topk",
     "cosine_near_dups",
+    "lsh_bucket_pairs",
     "semantic_dedup",
     "text_quality",
     "token_counts",
@@ -2600,6 +2613,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "cosine_near_dups": q_cosine_near_dups,
+        "lsh_bucket_pairs": q_lsh_bucket_pairs,
         "semantic_dedup": q_semantic_dedup,
         "csv_roundtrip": q_csv_roundtrip,
         "jsonl_roundtrip": q_jsonl_roundtrip,
@@ -2774,6 +2788,29 @@ SELECT CAST(round AS INT) AS round, host, url,
 FROM ({union})"""
     )
     return "".join(parts)
+
+
+def _sql_lsh_bucket_pairs(n_planes: int = 6, dim: int = 64, threshold: float = 0.2) -> str:
+    """DuckDB twin of q_lsh_bucket_pairs: same seeded LCG hyperplanes as
+    SQL literals (repr round-trips doubles exactly), same sign-pattern
+    bucket, same within-bucket pair join + round-then-threshold."""
+    from crawler_spark.pipeline.similarity import _hyperplanes
+
+    planes = _hyperplanes(n_planes, dim)
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in plane)}]) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j, plane in enumerate(planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+             CAST({bits} AS BIGINT) AS bucket
+      FROM e)
+SELECT a.bucket, a.vec_id AS id_a, c.vec_id AS id_b,
+       round(list_dot_product(a.v, c.v) / (a.nrm * c.nrm), 6) AS cosine
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE round(list_dot_product(a.v, c.v) / (a.nrm * c.nrm), 6) >= {threshold}"""
 
 
 def _sql_lsh_est_jaccard() -> str:
@@ -3591,6 +3628,7 @@ comp AS (SELECT u AS node, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u)
 SELECT d.vec_id, COALESCE(cm.comp, d.vec_id) AS component,
        COALESCE(cm.comp, d.vec_id) = d.vec_id AS is_keeper
 FROM embeddings d LEFT JOIN comp cm ON d.vec_id = cm.node""",
+        "lsh_bucket_pairs": _sql_lsh_bucket_pairs(),
         "cosine_near_dups": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -179,6 +179,71 @@ def lsh_bucketed_topk(
     )
 
 
+def lsh_bucket_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    dim: int | None = None,
+    threshold: float = 0.2,
+    seed: int = 11,
+) -> DataFrame:
+    """The bucketed near-duplicate tier itself: within-LSH-bucket exact
+    cosine pair join — the 100 TB path :func:`cosine_near_dups` promises,
+    as a first-class operator rather than a docstring.
+
+    Each vector hashes to one sign-pattern bucket; pairs are scored ONLY
+    inside their bucket via an equi-self-join on ``bucket`` (shuffle
+    hash-partitions by bucket id — no broadcast, no cross join, candidate
+    count Σ|bucket|² instead of N²). Recall dial = ``n_planes``; at scale
+    the corpus is stored bucketed by ``bucket`` so the self-join is
+    co-partitioned and shuffle-free. Deterministic: seeded LCG planes,
+    fixed fold order, round(·, 6) before the threshold compare."""
+    if dim is None:
+        dim = len(corpus.select(F.col(vec_col)).first()[0])
+    planes = _hyperplanes(n_planes, dim, seed)
+    as_double = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    e = (
+        corpus.select(
+            F.col(id_col).alias("vid"),
+            as_double.alias("v"),
+            lsh_bucket_expr(F.col(vec_col), planes).alias("bucket"),
+        )
+        .withColumn("nrm", norm_expr(F.col("v")))
+    )
+    a = e.select(
+        F.col("vid").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "bucket"
+    )
+    b = e.select(
+        F.col("vid").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"), "bucket"
+    )
+    cos = F.round(
+        dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("bucket", "id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def ivf_n_centroids(n_vectors: int, target_cluster: int = 1024) -> int:
+    """Sizing rule for IVF / SemDeDup centroid count at corpus scale.
+
+    Within-cluster pair work is Σ|cluster|² ≈ N²/C, so C must GROW with
+    the corpus: C = max(16, N / target_cluster) keeps the expected cluster
+    at ``target_cluster`` vectors (≈ 0.5M scored pairs each) regardless of
+    N; the centroid argmin scan costs N·C·dim flops, which at C = N/1024
+    stays ~dim·N²/1024 — fine until N ~ 10^8, beyond which a two-level
+    quantizer (IMI) replaces the flat scan. The sf0.1 default of 16 is
+    this rule's floor, not a constant: at 10^9 vectors it yields ~10^6
+    centroids. Ceiling division so the expected cluster never exceeds the
+    target. Pinned by tests/test_pipeline.py."""
+    target = max(1, target_cluster)
+    return max(16, -(-n_vectors // target))
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the scale path promised in lsh_bucketed_topk's
 # docstring: replace the sign-pattern bucket with argmin-over-centroids.

@@ -635,3 +635,34 @@ def test_span_dedup_matches_python_oracle_hypothesis(spark):
         assert got == py_oracle(docs)
 
     inner()
+
+
+def test_ivf_n_centroids_sizing_rule():
+    """C = max(16, N/1024): floor at small scale, grows linearly with the
+    corpus so Σ|cluster|² stays ~N·target instead of N²/16."""
+    from crawler_spark.pipeline.similarity import ivf_n_centroids
+
+    assert ivf_n_centroids(1_000) == 16           # sf-scale floor
+    assert ivf_n_centroids(100_000) == 98
+    assert ivf_n_centroids(10**9) == 976_563      # ~10^6 at 10^9 vectors
+    # expected cluster size stays bounded by the target
+    for n in (10**5, 10**7, 10**9):
+        assert n / ivf_n_centroids(n) <= 1024
+
+
+def test_lsh_bucket_pairs_subset_of_exact(spark):
+    """Every bucketed pair is a true pair (exact cosine, same rounding);
+    bucketing only prunes candidates, never invents them."""
+    from crawler_spark.pipeline.similarity import cosine_near_dups, lsh_bucket_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bucketed = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in lsh_bucket_pairs(emb, n_planes=4, dim=64, threshold=0.2).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in cosine_near_dups(emb, threshold=0.2).collect()
+    }
+    assert bucketed <= exact
+    assert len(bucketed) > 0
