@@ -219,10 +219,22 @@ def filter_unseen(
         probed = bloom_state.probe_broadcast(candidates, bloom)
     else:
         probed = bloom_state.probe(candidates, bloom)
-    definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
-    maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-    survivors = maybe.join(seen.select(*key), key, "left_anti")
-    return definitely_new.unionByName(survivors)
+    # ONE anti-join whose condition carries the probe verdict: a
+    # maybe_seen=false row can never satisfy the join condition, so the
+    # Bloom's no-false-negative guarantee admits it with zero build-side
+    # lookups, while maybe-seen rows get the exact check — same semantics
+    # as splitting into (definitely-new ∪ anti-joined maybe) branches, but
+    # as a single pass. The two-branch union form re-executed everything
+    # above the probe (the admission-dedup aggregate + the probe UDF's
+    # Arrow round-trip) once per branch — Spark reuses exchanges across
+    # union arms, not post-shuffle operator work — which measured ~15% of
+    # the 6M-URL round's wall (scripts/profile_variants.py, paired A/B).
+    seen_keys = seen.select(*key)
+    return probed.join(
+        seen_keys,
+        (probed["url_canon"] == seen_keys["url_canon"]) & probed["maybe_seen"],
+        "left_anti",
+    ).drop("maybe_seen")
 
 
 # ---------------------------------------------------------------------------

@@ -251,6 +251,9 @@ def _assign_seq(allowed: DataFrame, seq_offset: int, round_added: int) -> DataFr
     )
     # the caller unpersists this after materializing the round's state
     out._assign_seq_cache = ranged
+    # row count is a free by-product of the offsets collect — callers use it
+    # instead of a second count() job over the same rows
+    out._assign_seq_total = acc - seq_offset
     return out
 
 
@@ -295,6 +298,10 @@ def crawl(
         start_round = manifest["next_round"]
         seq_offset = manifest["seq_offset"]
         frontier = spark.read.parquet(manifest["frontier_path"])
+        # pre-change manifests lack frontier_size → one count at resume only
+        frontier_size = manifest.get("frontier_size")
+        if frontier_size is None:
+            frontier_size = frontier.count()
         seen_paths = manifest.get("seen_paths") or [manifest["seen_path"]]
         seen = spark.read.parquet(*seen_paths)
         bloom = (
@@ -310,7 +317,8 @@ def crawl(
         else:
             allowed = seeds_c
         frontier = _assign_seq(allowed, 0, 0)
-        seq_offset = frontier.count()
+        # free by-product of _assign_seq's offsets collect — no count() job
+        seq_offset = frontier._assign_seq_total
         seed_cache = getattr(frontier, "_assign_seq_cache", None)
         seen = seeds_c.select("url_hash", "bucket", "url_canon")
         bloom = bloom_state.empty(spark) if bloom_state else None
@@ -329,11 +337,13 @@ def crawl(
         seen_paths = [_ckpt(cfg, -1, "seen")]
         if bloom is not None:
             bloom = _snapshot(spark, bloom, _ckpt(cfg, -1, "bloom"), 1)
+        frontier_size = seq_offset  # every admitted seed is a frontier row
         _write_manifest(
             cfg,
             {
                 "next_round": 0,
                 "seq_offset": seq_offset,
+                "frontier_size": frontier_size,
                 "frontier_path": _ckpt(cfg, -1, "frontier"),
                 "seen_paths": seen_paths,
                 "bloom_path": _ckpt(cfg, -1, "bloom") if bloom is not None else None,
@@ -346,7 +356,11 @@ def crawl(
 
     rnd = start_round
     while rnd < cfg.max_rounds:
-        if frontier.limit(1).count() == 0:
+        # emptiness by driver arithmetic, not a per-round probe job:
+        # |frontier_next| = |frontier| − |scheduled| + |admitted|, all three
+        # maintained from collects the round already pays for (the
+        # _assign_seq offsets collect and the metrics snapshot read)
+        if frontier_size == 0:
             break
 
         scheduled, deferred = apply_politeness_budget(
@@ -467,6 +481,15 @@ def crawl(
             )
         )
         _write_state(metrics, _ckpt(cfg, rnd, "metrics"))
+        # per-round scheduled total from the just-written (tiny, per-bucket)
+        # metrics snapshot — feeds the driver-side frontier-size arithmetic
+        # that replaced the per-round limit(1).count() emptiness probe
+        n_scheduled = (
+            spark.read.parquet(_ckpt(cfg, rnd, "metrics"))
+            .agg(F.sum("scheduled").alias("s"))
+            .collect()[0]["s"]
+            or 0
+        )
 
         # --- next-round state -----------------------------------------------
         new_seen = fresh.select("url_hash", "bucket", "url_canon")
@@ -493,8 +516,9 @@ def crawl(
             seen = spark.read.parquet(*seen_paths)
         if bloom_next is not None:
             bloom = _snapshot(spark, bloom_next, _ckpt(cfg, rnd, "bloom"), 1)
-        n_admitted = new_entries.count()
+        n_admitted = new_entries._assign_seq_total  # from the offsets collect
         seq_offset += n_admitted
+        frontier_size = frontier_size - n_scheduled + n_admitted
         fetched.unpersist()
         ok.unpersist()
         fresh.unpersist()
@@ -508,6 +532,7 @@ def crawl(
             {
                 "next_round": rnd + 1,
                 "seq_offset": seq_offset,
+                "frontier_size": frontier_size,
                 "frontier_path": _ckpt(cfg, rnd, "frontier"),
                 "seen_paths": seen_paths,
                 "bloom_path": _ckpt(cfg, rnd, "bloom") if bloom_next is not None else None,

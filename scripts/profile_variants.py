@@ -1,0 +1,169 @@
+"""A/B kernel-variant profiler for the frontier-round flat-cost hunt.
+
+Runs ONE variant of the frontier-round kernel per process (fresh JVM) at
+6M URLs / 12,000 hosts (bench.py's exact kernel point), warm-up at 1/10
+size then best-of-3, and prints one JSON line with wall + job/stage
+counts from the status tracker.
+
+    python scripts/profile_variants.py <variant> [n_urls]
+
+Variants:
+  base    frontier_round_kernel exactly as bench.py runs it
+  onepass filter_unseen replaced by a single anti-join whose condition
+          carries maybe_seen (no union -> no double-compute of the
+          dedup aggregate + probe UDF)
+  onepassh onepass + shuffle_hash hint on the seen side (no sort of the
+          6M-row candidate stream)
+  noaqe   base with spark.sql.adaptive.enabled=false
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark import StorageLevel
+from pyspark.sql import functions as F
+
+
+def run_variant(spark, variant: str, n_urls: int, n_hosts: int) -> dict:
+    from crawler_spark import benchmarks as B
+    from crawler_spark.frontier.canon import (
+        canon_expr,
+        flat_outlinks,
+        host_bucket_expr,
+        host_expr,
+        url_hash_expr,
+    )
+    from crawler_spark.frontier.politeness import apply_politeness_budget
+    from crawler_spark.frontier.seen import BloomState, filter_unseen
+    from crawler_spark.scheduler import _dedup_candidates
+
+    if variant in ("base", "noaqe"):
+        return B.frontier_round_kernel(spark, n_urls=n_urls, n_hosts=n_hosts)
+
+    n_buckets, budget, seen_every = 32, 512, 3
+    raw = B.synth_frontier(spark, n_urls, n_hosts)
+    pages = B.synth_pages(raw, links_per_page=12, filler_words=60).repartition(
+        B.FETCH_BUCKETS, "url_canon"
+    )
+    seen = (
+        raw.filter(F.pmod("id", F.lit(seen_every)) == 0)
+        .select(F.lower(F.regexp_replace("url", ":443", "")).alias("url_canon"))
+        .withColumn("host", host_expr(F.col("url_canon")))
+        .withColumn("bucket", host_bucket_expr(F.col("host"), n_buckets))
+        .withColumn("url_hash", url_hash_expr(F.col("url_canon")))
+        .select("url_hash", "bucket", "url_canon")
+    )
+    bloom_state = BloomState(n_buckets, 1 << 22)
+    bloom = bloom_state.merge(bloom_state.empty(spark), seen.select("bucket", "url_hash"))
+    bloom.persist()
+    bloom.count()
+    seen.persist()
+    seen.count()
+    pages.persist(StorageLevel.DISK_ONLY)
+    pages.count()
+
+    t0 = time.monotonic()
+    cands = raw.select(
+        canon_expr(F.col("url")).alias("url_canon"),
+        F.lit(0).alias("priority"),
+        F.col("id").alias("first_occ_a"),
+        F.lit(0).cast("long").alias("first_occ_b"),
+    )
+    cands = (
+        cands.withColumn("host", host_expr(F.col("url_canon")))
+        .withColumn("bucket", host_bucket_expr(F.col("host"), n_buckets))
+        .withColumn("url_hash", url_hash_expr(F.col("url_canon")))
+    )
+    cands = _dedup_candidates(cands)
+    probed = bloom_state.probe_broadcast(cands, bloom)
+    seen_side = seen.select("url_canon")
+    if variant == "onepassh":
+        seen_side = seen_side.hint("shuffle_hash")
+    fresh = probed.join(
+        seen_side,
+        (probed["url_canon"] == seen_side["url_canon"]) & probed["maybe_seen"],
+        "left_anti",
+    ).drop("maybe_seen")
+    frontier = fresh.select(
+        "url_canon",
+        "host",
+        "bucket",
+        "url_hash",
+        "priority",
+        F.lit(0).alias("round_added"),
+        F.col("first_occ_a").alias("seq"),
+    )
+    scheduled, _deferred = apply_politeness_budget(
+        frontier,
+        spark.createDataFrame([], "host string, max_fetches_per_round int"),
+        budget,
+        cap=budget,
+    )
+    scheduled.persist()
+    fetched = pages.join(
+        scheduled.select("url_canon")
+        .repartition(B.FETCH_BUCKETS, "url_canon")
+        .hint("shuffle_hash"),
+        "url_canon",
+        "left_semi",
+    )
+    outlinks = flat_outlinks(fetched.select("url_canon", "html"), ["url_canon"])
+    n_outlinks = outlinks.count()
+    n_scheduled = scheduled.count()
+    wall = time.monotonic() - t0
+    scheduled.unpersist()
+    seen.unpersist()
+    pages.unpersist()
+    bloom.unpersist()
+    return {
+        "n_urls": n_urls,
+        "urls_scheduled": n_scheduled,
+        "outlinks": n_outlinks,
+        "round_wall_sec": round(wall, 3),
+        "urls_scheduled_per_sec": round(n_scheduled / wall, 1),
+    }
+
+
+def main() -> None:
+    variant = sys.argv[1] if len(sys.argv) > 1 else "base"
+    n_urls = int(sys.argv[2]) if len(sys.argv) > 2 else 6_000_000
+    n_hosts = max(n_urls // 500, 1_000)
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    spark = bench.make_spark(32)
+    if variant == "noaqe":
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    if variant.startswith("ab:"):
+        # interleaved paired comparison in ONE process: same JVM warmth for
+        # both arms, 4 alternating pairs, report per-arm walls + mins
+        a, b = variant[3:].split(",")
+        for v in (a, b):
+            run_variant(spark, v, max(n_urls // 10, 10_000), max(n_hosts // 10, 100))
+        walls = {a: [], b: []}
+        for _ in range(4):
+            for v in (a, b):
+                walls[v].append(run_variant(spark, v, n_urls, n_hosts)["round_wall_sec"])
+        print(json.dumps({"ab": [a, b], "walls": walls,
+                          "min": {v: min(w) for v, w in walls.items()}}))
+        spark.stop()
+        return
+    run_variant(spark, variant, max(n_urls // 10, 10_000), max(n_hosts // 10, 100))
+    runs = [run_variant(spark, variant, n_urls, n_hosts) for _ in range(3)]
+    best = min(runs, key=lambda r: r["round_wall_sec"])
+    st = spark.sparkContext.statusTracker()
+    best["variant"] = variant
+    best["walls"] = [r["round_wall_sec"] for r in runs]
+    best["n_jobs_total"] = len(st.getJobIdsForGroup(None) or [])
+    print(json.dumps(best))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
