@@ -196,6 +196,49 @@ def q_rule_xpath_axes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rule_xpath_nodetypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 with comment()/processing-instruction() node tests — the last node
+    types the vendored engine supports that scraping rules can name ("All
+    node types, except for namespace nodes", vendor/.../xmlpath/doc.go:17).
+    Pages are synthesized from deterministic doc_id arithmetic, so the
+    oracle restates the expected strings from the generating formula —
+    ground truth by construction (same pattern as rule_xpath_axes).
+    Comment string-value is the comment's content (XPath §5.6), PI
+    string-value its content after the target (§5.7); node() counts
+    comments and PIs alongside elements and text."""
+    from crawler_spark.rules.spark import XPathRule, xpath_struct_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.format_string(
+        "<html><body>"
+        "<!--c%d-->"
+        "<div><!--promo %d--><p>body</p></div>"
+        "<?render m%d?>"
+        "</body></html>",
+        F.col("doc_id") % 11,
+        F.col("doc_id") % 5,
+        F.col("doc_id") % 3,
+    )
+    fields = xpath_struct_expr(
+        html,
+        {
+            "first_comment": XPathRule("//comment()"),
+            "div_comment": XPathRule("//div/comment()"),
+            "pi_val": XPathRule("//processing-instruction('render')"),
+            "pi_miss": XPathRule("//processing-instruction('other')"),
+            "after_comment": XPathRule("//div[comment()]/p"),
+        },
+    )
+    return docs.select(
+        "doc_id",
+        fields["first_comment"].alias("first_comment"),
+        fields["div_comment"].alias("div_comment"),
+        fields["pi_val"].alias("pi_val"),
+        fields["pi_miss"].alias("pi_miss"),
+        fields["after_comment"].alias("after_comment"),
+    )
+
+
 def q_jd_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P9 transStringFunc vocabulary of the jd example (example/jd/main.go):
     count-occurrences (:60,106 — size(split)-1), min-over-parsed-ints
@@ -2432,8 +2475,10 @@ _R2_FRONT = [
     "sessionize",
     # quirk-critical P4 per-level-distinct cut rule
     "rule_cut_all",
-    # new this round: explicit XPath axes + parenthesized predicates
+    # new this round: explicit XPath axes + parenthesized predicates,
+    # comment()/processing-instruction() node tests
     "rule_xpath_axes",
+    "rule_xpath_nodetypes",
     # upgraded this round from rows-only to a hashed DuckDB BFS oracle
     "crawl_bsp_rounds",
     # file-format roundtrips
@@ -2525,6 +2570,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_xpath_first": q_rule_xpath_first,
         "rule_xpath_all": q_rule_xpath_all,
         "rule_xpath_axes": q_rule_xpath_axes,
+        "rule_xpath_nodetypes": q_rule_xpath_nodetypes,
         "jd_transforms": q_jd_transforms,
         "outlink_tokens": q_outlink_tokens,
         # sources (SURVEY §2.1)
@@ -3162,6 +3208,17 @@ FROM documents""",
             "SELECT doc_id, 'P' || (doc_id % 97) AS price, "
             "'S' || (doc_id % 7) AS stock, 'D' || (doc_id % 5) AS promo, "
             "'E' || (doc_id % 3) AS tail_div, 'P' || (doc_id % 97) AS label_back "
+            "FROM documents"
+        ),
+        "rule_xpath_nodetypes": (
+            # pages synthesized from doc_id arithmetic; expected strings
+            # restated from the generating formula (ground truth by
+            # construction, like rule_xpath_axes)
+            "SELECT doc_id, 'c' || (doc_id % 11) AS first_comment, "
+            "'promo ' || (doc_id % 5) AS div_comment, "
+            "'m' || (doc_id % 3) AS pi_val, "
+            "'' AS pi_miss, "  # engine contract: no match -> empty string
+            "'body' AS after_comment "
             "FROM documents"
         ),
         "jd_transforms": f"""

@@ -25,8 +25,10 @@ lxml is not available in this environment, so this module implements:
   (vendor/.../xmlpath/parser.go:45-60); first match = smallest document
   order (vendor/.../xmlpath/path.go:41-47).
 
-Comment/processing-instruction node tests are not modeled (the stdlib
-parser drops them; rare in scraping rules).
+Comment and processing-instruction nodes are kept in the tree and matched
+by ``comment()`` / ``processing-instruction([name])`` node tests ("all node
+types, except for namespace nodes", doc.go:17); their string-values follow
+XPath §5.6-5.7 (the node's own content).
 """
 
 from __future__ import annotations
@@ -44,6 +46,9 @@ _HEAD_ELEMENTS = frozenset("title meta link base style script".split())
 TEXT = 0
 ELEMENT = 1
 DOCUMENT = 2
+# kind 3 is the AttrNode pseudo-kind (see AttrNode.kind)
+COMMENT = 4
+PI = 5  # processing instruction: tag = target, data = content
 
 
 class Node:
@@ -62,9 +67,10 @@ class Node:
         child.parent = self
         self.children.append(child)
 
-    # XPath string-value (concat of descendant text, document order)
+    # XPath string-value (concat of descendant text, document order;
+    # comment/PI string-value is the node's own content per XPath §5.6-5.7)
     def string_value(self) -> str:
-        if self.kind == TEXT:
+        if self.kind in (TEXT, COMMENT, PI):
             return self.data
         parts: list[str] = []
         stack = list(reversed(self.children))
@@ -121,6 +127,16 @@ class _TreeBuilder(HTMLParser):
         if data:
             self.stack[-1].append(Node(TEXT, data=data))
 
+    def handle_comment(self, data):
+        self.stack[-1].append(Node(COMMENT, data=data))
+
+    def handle_pi(self, data):
+        # html.parser hands `<?target content?>` as "target content?" —
+        # split off the target, strip the xml-style trailing '?'
+        data = data[:-1] if data.endswith("?") else data
+        target, _, content = data.partition(" ")
+        self.stack[-1].append(Node(PI, tag=target, data=content.lstrip()))
+
 
 def _normalize(root: Node) -> Node:
     """Impose the html>head>body document shape of x/net/html.Parse."""
@@ -157,9 +173,11 @@ def _normalize(root: Node) -> Node:
         if c.kind == ELEMENT and c.tag in _HEAD_ELEMENTS and in_head:
             head.append(c)
         else:
-            if c.kind == ELEMENT or c.data.strip():
+            # comments/PIs are transparent to head/body placement (like
+            # whitespace text): they join whichever section is current
+            if c.kind == ELEMENT or (c.kind == TEXT and c.data.strip()):
                 in_head = False
-            body.append(c)
+            (head if in_head and c.kind in (COMMENT, PI) else body).append(c)
 
     for i, n in enumerate(root.iter_descendants()):
         n.ord = i
@@ -342,10 +360,30 @@ def _is_descendant_of(node: Node, anc: Node) -> bool:
     return False
 
 
+_PI_TEST_RE = re.compile(
+    r"^processing-instruction\(\s*(?:(\"[^\"]*\"|'[^']*')\s*)?\)$"
+)
+
+
 def _apply_test(pool: list, test: str) -> list:
-    """Filter an axis pool by a node test (principal node type = element)."""
+    """Filter an axis pool by a node test (principal node type = element).
+    Covers all node types but namespace, like the vendored engine
+    (vendor/.../xmlpath/doc.go:17): text(), comment(),
+    processing-instruction([name]), node(), *, and name tests."""
     if test == "text()":
         return [n for n in pool if not isinstance(n, AttrNode) and n.kind == TEXT]
+    if test == "comment()":
+        return [n for n in pool if not isinstance(n, AttrNode) and n.kind == COMMENT]
+    m = _PI_TEST_RE.match(test)
+    if m:
+        name = m.group(1)[1:-1] if m.group(1) else None
+        return [
+            n
+            for n in pool
+            if not isinstance(n, AttrNode)
+            and n.kind == PI
+            and (name is None or n.tag == name)
+        ]
     if test == "node()":
         return list(pool)
     if test == "*":

@@ -208,3 +208,47 @@ def test_parenthesized_predicates():
 def test_position_function():
     root = parse_html(PRED_DOC)
     assert [n.string_value() for n in xpath_all(root, "//li[position()=2]")] == ["B"]
+
+
+# ---------------------------------------------------------------------------
+# comment() / processing-instruction() node tests (vendor doc.go:17 — all
+# node types except namespace)
+# ---------------------------------------------------------------------------
+
+NODETYPE_DOC = """
+<html><head><!--head note--><title>T</title></head>
+<body><?render mode=fast?><div id="a"><!--inner--><p>hi</p></div>
+<!--tail--><p>bye</p></body></html>
+"""
+
+
+def test_comment_node_test():
+    root = parse_html(NODETYPE_DOC)
+    got = [n.string_value() for n in xpath_all(root, "//comment()")]
+    assert got == ["head note", "inner", "tail"]
+    assert html_xpath_first(NODETYPE_DOC, "//div/comment()") == "inner"
+    assert html_xpath_first(NODETYPE_DOC, "/html/head/comment()") == "head note"
+
+
+def test_processing_instruction_node_test():
+    assert html_xpath_first(NODETYPE_DOC, "//processing-instruction()") == "mode=fast"
+    assert html_xpath_first(NODETYPE_DOC, "//processing-instruction('render')") == "mode=fast"
+    assert html_xpath_first(NODETYPE_DOC, "//processing-instruction('other')") is None
+
+
+def test_comment_in_predicate_and_axes():
+    # existence predicate + explicit axis over comment nodes
+    assert html_xpath_first(NODETYPE_DOC, "//div[comment()]/@id") == "a"
+    # first p in doc order with a preceding comment sibling is the inner one
+    assert html_xpath_first(NODETYPE_DOC, "//p[preceding-sibling::comment()]") == "hi"
+    root = parse_html(NODETYPE_DOC)
+    # node() counts comments and PIs alongside elements/text
+    kinds = {n.kind for n in xpath_all(root, "//div/node()")}
+    assert kinds == {1, 4}  # ELEMENT, COMMENT
+
+
+def test_comments_excluded_from_string_value_and_text():
+    # element string-value concatenates TEXT descendants only (XPath §5.2)
+    assert html_xpath_first(NODETYPE_DOC, "//div") == "hi"
+    from crawler_spark.rules.htmlpath import html_visible_text
+    assert "inner" not in html_visible_text(NODETYPE_DOC)
