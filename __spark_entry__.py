@@ -625,6 +625,33 @@ def q_robots_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``Sitemap:`` discovery from robots.txt — the directive lives OUTSIDE
+    User-agent group scope (sitemaps.org; RFC 9309 "other records"), so a
+    line buried in a foreign UA group still counts, matching is
+    case-insensitive, and repeated URLs dedup to first occurrence.
+    Synthesized bodies exercise all three hazards (spark.range ↔ DuckDB
+    range); the oracle restates the expected rows from the generating
+    formula — ground truth by construction."""
+    from crawler_spark.frontier.politeness import sitemaps_from_robots
+
+    df = spark.range(60).select(
+        F.format_string("h%d.example.com", F.col("id")).alias("host"),
+        F.format_string(
+            "User-agent: alpha\nDisallow: /a\n"
+            "SITEMAP: https://h%d.example.com/sitemap%d.xml\n"
+            "User-agent: *\nDisallow: /x\n# comment\n"
+            "sitemap: https://cdn.example.com/shared.xml\n"
+            "Sitemap: https://h%d.example.com/sitemap%d.xml",
+            F.col("id"),
+            F.pmod(F.col("id"), F.lit(4)),
+            F.col("id"),
+            F.pmod(F.col("id"), F.lit(4)),
+        ).alias("robots_txt"),
+    )
+    return sitemaps_from_robots(df)
+
+
 def q_politeness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F6 per-host politeness budget as row_number window: first 3 events
     per user in deterministic (ts, event_id) order."""
@@ -2479,6 +2506,8 @@ _R2_FRONT = [
     # comment()/processing-instruction() node tests
     "rule_xpath_axes",
     "rule_xpath_nodetypes",
+    # new this round: Sitemap: directive discovery from robots.txt
+    "robots_sitemaps",
     # upgraded this round from rows-only to a hashed DuckDB BFS oracle
     "crawl_bsp_rounds",
     # file-format roundtrips
@@ -2582,6 +2611,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_semi_join": q_robots_semi_join,
         "robots_parse": q_robots_parse,
         "robots_crawl_delay": q_robots_crawl_delay,
+        "robots_sitemaps": q_robots_sitemaps,
         "sitemap_seeds": q_sitemap_seeds,
         "sitemap_index_seeds": q_sitemap_index_seeds,
         "anchor_texts": q_anchor_texts,
@@ -3312,6 +3342,13 @@ SELECT 'h' || i || '.example.com' AS host,
        CAST(CASE WHEN i % 5 > 0 THEN greatest(1, floor(60.0 / (i % 5)))
                  ELSE 16 END AS INT) AS max_fetches_per_round
 FROM range(40) t(i)""",
+        "robots_sitemaps": """
+SELECT 'h' || i || '.example.com' AS host, 0 AS pos,
+       'https://h' || i || '.example.com/sitemap' || (i % 4) || '.xml' AS sitemap_url
+FROM range(60) t(i)
+UNION ALL
+SELECT 'h' || i || '.example.com', 1, 'https://cdn.example.com/shared.xml'
+FROM range(60) t(i)""",
         "robots_parse": """
 WITH r AS (
   SELECT 'h' || i || '.example.com' AS host,

@@ -247,6 +247,39 @@ def apply_politeness_budget(
     return scheduled, deferred
 
 
+_SITEMAP_RE = r"(?i)^\s*sitemap\s*:\s*(\S+)"
+
+
+def sitemap_urls_expr(text: Column) -> Column:
+    """``Sitemap:`` directive URLs from a raw robots.txt body —
+    ``array<string>``, document order, first-occurrence dedup.
+
+    Unlike Allow/Disallow/Crawl-delay, Sitemap records are independent of
+    any ``User-agent`` group (sitemaps.org protocol; RFC 9309 treats them
+    as "other records" outside group scope), so EVERY line counts — no
+    :func:`_star_scope_idx` here on purpose. Directive matching is
+    case-insensitive and whitespace-tolerant; URL values keep their case.
+    Pure codegen (split + transform + one regexp per line), map-only: the
+    ~10^7 robots bodies of a 10^10-URL crawl parse in one columnar pass,
+    and the output feeds :mod:`crawler_spark.sources.sitemap` seed
+    expansion directly."""
+    lines = F.split(text, "\n")
+    vals = F.transform(lines, lambda l: F.regexp_extract(l, _SITEMAP_RE, 1))
+    return F.array_distinct(F.filter(vals, lambda v: v != ""))
+
+
+def sitemaps_from_robots(
+    df: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """``(host, robots_txt)`` → ``(host, pos, sitemap_url)``, one row per
+    discovered sitemap, document order per host. The discovery half of the
+    sitemap seed pipeline (expansion half: ``sources/sitemap.py``)."""
+    return df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(sitemap_urls_expr(F.col(text_col))).alias("pos", "sitemap_url"),
+    ).select("host", F.col("pos").cast("int").alias("pos"), "sitemap_url")
+
+
 _CRAWL_DELAY_RE = r"(?i)^\s*crawl-delay\s*:\s*([0-9]+)"
 
 

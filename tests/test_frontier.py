@@ -476,3 +476,28 @@ def test_round_url_sketches_merge_equals_one_pass_and_bounds_error(spark):
     assert merged_est == one_pass
     exact = df.select("url_canon").distinct().count()
     assert abs(merged_est - exact) / exact < 0.03
+
+
+def test_sitemap_urls_expr(spark):
+    """Sitemap: records are group-independent (a line in a foreign UA group
+    counts), case-insensitive, doc-order, first-occurrence dedup."""
+    from crawler_spark.frontier.politeness import sitemaps_from_robots
+
+    body = (
+        "User-agent: alpha\nDisallow: /a\n"
+        "SITEMAP: https://h.example/a.xml\n"
+        "User-agent: *\nDisallow: /x\n"
+        "# Sitemap: https://h.example/commented.xml is still a Sitemap line\n"
+        "sitemap: https://cdn.example/shared.xml\n"
+        "Sitemap: https://h.example/a.xml\n"
+        "Sitemap:\n"  # empty value -> dropped
+    )
+    df = spark.createDataFrame([("h.example", body)], "host string, robots_txt string")
+    got = [
+        (r["pos"], r["sitemap_url"]) for r in sitemaps_from_robots(df).collect()
+    ]
+    # NB: '# Sitemap:' lines do NOT match (^\s*sitemap anchored after ws only)
+    assert got == [
+        (0, "https://h.example/a.xml"),
+        (1, "https://cdn.example/shared.xml"),
+    ]
