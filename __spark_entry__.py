@@ -24,8 +24,9 @@ Operator families covered (SURVEY.md §2 + north-rule pipeline ops):
 * training-data pipeline — exact dedup, MinHash signatures, LSH candidate
   pairs + estimated Jaccard, SimHash, n-gram Jaccard, embedding cosine
   top-k, text quality + language-ID (pipeline/ package)
-* rows-only (no SQL oracle possible): the BSP crawl round itself,
-  LSH-bucketed approximate ANN, multimodal feature extraction
+* rows-only (no SQL oracle possible): the streaming crawl (RNG corpus)
+  and the env-stubbed multimodal codecs — everything else, including the
+  BSP crawl round and both ANN tiers, carries a value-exact DuckDB twin
 """
 
 from __future__ import annotations
@@ -2256,7 +2257,11 @@ def q_stream_crawl_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN — recall measured against exact top-k in tests."""
+    """Approximate ANN via LSH sign-pattern buckets. Deterministic end to
+    end (seeded LCG hyperplanes, rounded-cosine ranking with full
+    tiebreak), so it carries a value-exact DuckDB twin
+    (_sql_ann_lsh_topk) — recall vs exact top-k is additionally measured
+    in tests."""
     emb = _t(spark, sf_dir, "embeddings")
     return sim.lsh_bucketed_topk(
         emb, emb.filter(F.col("vec_id") < 10), k=5, n_planes=4, dim=64
@@ -2528,6 +2533,7 @@ _R2_FRONT = [
     "shared_shingle_pairs",
     "ngram_jaccard",
     "embedding_topk",
+    "ann_lsh_topk",
     "ann_ivf_topk",
     "cosine_near_dups",
     "lsh_bucket_pairs",
@@ -2574,7 +2580,6 @@ _R2_FRONT = [
     "user_event_sequence",
     # rows-only (weakest driver check — spend window slots last)
     "stream_crawl_rounds",
-    "ann_lsh_topk",
     "multimodal_features",
     "multimodal_resize",
     "multimodal_frame_sample",
@@ -2887,6 +2892,37 @@ SELECT a.bucket, a.vec_id AS id_a, c.vec_id AS id_b,
        round(list_dot_product(a.v, c.v) / (a.nrm * c.nrm), 6) AS cosine
 FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
 WHERE round(list_dot_product(a.v, c.v) / (a.nrm * c.nrm), 6) >= {threshold}"""
+
+
+def _sql_ann_lsh_topk(n_planes: int = 4, dim: int = 64, k: int = 5) -> str:
+    """DuckDB twin of q_ann_lsh_topk: same seeded LCG hyperplanes as SQL
+    literals (repr round-trips doubles exactly; _hyperplanes(4) is a prefix
+    of _hyperplanes(6) — one LCG stream), same sign-pattern bucket, same
+    within-bucket rounded-cosine ranking with (cosine DESC, neighbor ASC)
+    tiebreak — the machinery lsh_bucket_pairs already proved bit-stable."""
+    from crawler_spark.pipeline.similarity import _hyperplanes
+
+    planes = _hyperplanes(n_planes, dim)
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in plane)}]) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j, plane in enumerate(planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+             CAST({bits} AS BIGINT) AS bucket
+      FROM e),
+q AS (SELECT * FROM b WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+  FROM b c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.vec_id),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {k}"""
 
 
 def _sql_lsh_est_jaccard() -> str:
@@ -3723,6 +3759,7 @@ SELECT d.vec_id, COALESCE(cm.comp, d.vec_id) AS component,
        COALESCE(cm.comp, d.vec_id) = d.vec_id AS is_keeper
 FROM embeddings d LEFT JOIN comp cm ON d.vec_id = cm.node""",
         "lsh_bucket_pairs": _sql_lsh_bucket_pairs(),
+        "ann_lsh_topk": _sql_ann_lsh_topk(),
         "cosine_near_dups": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

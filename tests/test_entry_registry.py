@@ -26,8 +26,10 @@ def test_all_query_entries_callable_and_rows_only_documented():
     # adding a new oracle-less query silently weakens the gate, so list it here
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
+        # RNG corpus (make_corpus) is not SQL-replayable; batch-equivalence
+        # is pinned by tests/test_streaming.py instead
         "stream_crawl_rounds",
-        "ann_lsh_topk",
+        # codecs env-stubbed (no PIL/ffmpeg); plumbing pinned by pytest
         "multimodal_features",
         "multimodal_frame_sample",
         "multimodal_resize",
