@@ -360,7 +360,11 @@ def crawl(
         # |frontier_next| = |frontier| − |scheduled| + |admitted|, all three
         # maintained from collects the round already pays for (the
         # _assign_seq offsets collect and the metrics snapshot read)
-        if frontier_size == 0:
+        # <= not ==: the arithmetic assumes the corpus is unique per
+        # url_canon (the pages-table contract); a violating corpus would
+        # overcount n_scheduled and drift the size negative — degrade to
+        # stopping rather than spinning empty rounds until max_rounds
+        if frontier_size <= 0:
             break
 
         scheduled, deferred = apply_politeness_budget(

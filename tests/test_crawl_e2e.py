@@ -169,3 +169,28 @@ def test_metrics_and_budget_invariant(spark, corpus, tmp_path_factory):
     )
     exact = result.metrics.agg(F.sum("admitted")).collect()[0][0]
     assert abs(est - exact) / max(exact, 1) < 0.05
+
+
+def test_resume_from_pre_frontier_size_manifest(spark, corpus, oracle_result, tmp_path_factory):
+    """Manifests written before frontier_size existed must still resume
+    (one count() fallback), and the arithmetic must pick up correctly."""
+    import json
+
+    pages, seeds, robots, politeness = _spark_inputs(spark, corpus)
+    ckpt = str(tmp_path_factory.mktemp("ckpt_oldmanifest"))
+    cfg = CrawlConfig(checkpoint_dir=ckpt, max_rounds=3, default_budget=16, n_buckets=8)
+    crawl(spark, pages, seeds, robots, politeness, cfg)
+    mpath = os.path.join(ckpt, "manifest.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    assert "frontier_size" in m
+    del m["frontier_size"]  # simulate a pre-change checkpoint
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    cfg_full = CrawlConfig(
+        checkpoint_dir=ckpt, max_rounds=12, default_budget=16, n_buckets=8
+    )
+    resumed = crawl(spark, pages, seeds, robots, politeness, cfg_full, resume=True)
+    got = _schedule_tuples_spark(resumed)
+    want = _schedule_tuples_oracle(oracle_result)
+    assert got == want
