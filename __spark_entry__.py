@@ -2871,10 +2871,12 @@ FROM ({union})"""
     return "".join(parts)
 
 
-def _sql_lsh_bucket_pairs(n_planes: int = 6, dim: int = 64, threshold: float = 0.2) -> str:
-    """DuckDB twin of q_lsh_bucket_pairs: same seeded LCG hyperplanes as
-    SQL literals (repr round-trips doubles exactly), same sign-pattern
-    bucket, same within-bucket pair join + round-then-threshold."""
+def _sql_lsh_bucket_cte(n_planes: int, dim: int) -> str:
+    """Shared prefix of the LSH oracles: seeded LCG hyperplanes as SQL
+    literals (repr round-trips doubles exactly; _hyperplanes(k) is a prefix
+    of _hyperplanes(k') for k<k' — one LCG stream) plus the sign-pattern
+    bucket + norm CTE. One source of truth so the bucket encoding can never
+    silently diverge between the pairs and top-k oracles."""
     from crawler_spark.pipeline.similarity import _hyperplanes
 
     planes = _hyperplanes(n_planes, dim)
@@ -2887,7 +2889,13 @@ def _sql_lsh_bucket_pairs(n_planes: int = 6, dim: int = 64, threshold: float = 0
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 b AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
              CAST({bits} AS BIGINT) AS bucket
-      FROM e)
+      FROM e)"""
+
+
+def _sql_lsh_bucket_pairs(n_planes: int = 6, dim: int = 64, threshold: float = 0.2) -> str:
+    """DuckDB twin of q_lsh_bucket_pairs: same sign-pattern bucket (shared
+    CTE), same within-bucket pair join + round-then-threshold."""
+    return f"""{_sql_lsh_bucket_cte(n_planes, dim)}
 SELECT a.bucket, a.vec_id AS id_a, c.vec_id AS id_b,
        round(list_dot_product(a.v, c.v) / (a.nrm * c.nrm), 6) AS cosine
 FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
@@ -2895,24 +2903,10 @@ WHERE round(list_dot_product(a.v, c.v) / (a.nrm * c.nrm), 6) >= {threshold}"""
 
 
 def _sql_ann_lsh_topk(n_planes: int = 4, dim: int = 64, k: int = 5) -> str:
-    """DuckDB twin of q_ann_lsh_topk: same seeded LCG hyperplanes as SQL
-    literals (repr round-trips doubles exactly; _hyperplanes(4) is a prefix
-    of _hyperplanes(6) — one LCG stream), same sign-pattern bucket, same
-    within-bucket rounded-cosine ranking with (cosine DESC, neighbor ASC)
-    tiebreak — the machinery lsh_bucket_pairs already proved bit-stable."""
-    from crawler_spark.pipeline.similarity import _hyperplanes
-
-    planes = _hyperplanes(n_planes, dim)
-    bits = " + ".join(
-        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in plane)}]) > 0 "
-        f"THEN {1 << j} ELSE 0 END)"
-        for j, plane in enumerate(planes)
-    )
-    return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-b AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
-             CAST({bits} AS BIGINT) AS bucket
-      FROM e),
+    """DuckDB twin of q_ann_lsh_topk: same sign-pattern bucket (shared
+    CTE), same within-bucket rounded-cosine ranking with (cosine DESC,
+    neighbor ASC) tiebreak — machinery lsh_bucket_pairs proved bit-stable."""
+    return f"""{_sql_lsh_bucket_cte(n_planes, dim)},
 q AS (SELECT * FROM b WHERE vec_id < 10),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -132,10 +132,13 @@ class _TreeBuilder(HTMLParser):
 
     def handle_pi(self, data):
         # html.parser hands `<?target content?>` as "target content?" —
-        # split off the target, strip the xml-style trailing '?'
+        # split off the target (any XML whitespace separates it, not just
+        # a space), strip the xml-style trailing '?'
         data = data[:-1] if data.endswith("?") else data
-        target, _, content = data.partition(" ")
-        self.stack[-1].append(Node(PI, tag=target, data=content.lstrip()))
+        parts = re.split(r"\s+", data, maxsplit=1)
+        target = parts[0]
+        content = parts[1] if len(parts) > 1 else ""
+        self.stack[-1].append(Node(PI, tag=target, data=content))
 
 
 def _normalize(root: Node) -> Node:

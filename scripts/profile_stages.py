@@ -58,11 +58,20 @@ def main() -> None:
         sub = s.get("firstTaskLaunchedTime") or s.get("submissionTime")
         if not sub:
             continue
-        t0 = time.mktime(time.strptime(sub[:19], "%Y-%m-%dT%H:%M:%S")) * 1000
+        # REST timestamps are GMT ('...T03:02:19.123GMT') — parse as UTC
+        # (timegm), NOT mktime/local, or the t_mark window filter shifts by
+        # the host's UTC offset and drops/pollutes the measured stages
+        import calendar
+
+        t0 = calendar.timegm(time.strptime(sub[:19], "%Y-%m-%dT%H:%M:%S")) * 1000
         if t0 < t_mark - 1000:
             continue
         comp = s.get("completionTime")
-        t1 = time.mktime(time.strptime(comp[:19], "%Y-%m-%dT%H:%M:%S")) * 1000 if comp else t0
+        t1 = (
+            calendar.timegm(time.strptime(comp[:19], "%Y-%m-%dT%H:%M:%S")) * 1000
+            if comp
+            else t0
+        )
         rows.append(
             {
                 "stage": s["stageId"],

@@ -1,20 +1,25 @@
 """A/B kernel-variant profiler for the frontier-round flat-cost hunt.
 
-Runs ONE variant of the frontier-round kernel per process (fresh JVM) at
-6M URLs / 12,000 hosts (bench.py's exact kernel point), warm-up at 1/10
-size then best-of-3, and prints one JSON line with wall + job/stage
-counts from the status tracker.
+Runs ONE variant of the frontier-round kernel per invocation at 6M URLs /
+12,000 hosts (bench.py's exact kernel point), warm-up at 1/10 size then
+best-of-3, and prints one JSON line. `ab:x,y` mode interleaves two arms
+in ONE process (same JVM warmth, 4 alternating pairs) — sequential
+whole-process comparisons are noise-dominated on this VM (CLAUDE.md).
 
-    python scripts/profile_variants.py <variant> [n_urls]
+    python scripts/profile_variants.py <variant|ab:x,y> [n_urls]
 
 Variants:
-  base    frontier_round_kernel exactly as bench.py runs it
-  onepass filter_unseen replaced by a single anti-join whose condition
-          carries maybe_seen (no union -> no double-compute of the
-          dedup aggregate + probe UDF)
-  onepassh onepass + shuffle_hash hint on the seen side (no sort of the
-          6M-row candidate stream)
-  noaqe   base with spark.sql.adaptive.enabled=false
+  base    frontier_round_kernel as committed — since the round-2 change
+          this already uses the ONE-PASS unseen filter (single anti-join
+          carrying the probe verdict in its condition)
+  union   the pre-round-2 two-branch form (definitely-new ∪ anti-joined
+          maybe), kept inline here as the regression comparison arm; the
+          union re-executes the dedup aggregate + probe UDF per branch,
+          which the one-pass form removed (measured base 16.1s vs
+          one-pass 13.6-14.7s at the 6M point when the union form was
+          still `base`)
+  noaqe   base with spark.sql.adaptive.enabled=false for the arm's runs
+          (toggled around each call, so it works inside ab: mode)
 """
 
 from __future__ import annotations
@@ -30,7 +35,9 @@ from pyspark import StorageLevel
 from pyspark.sql import functions as F
 
 
-def run_variant(spark, variant: str, n_urls: int, n_hosts: int) -> dict:
+def _union_round(spark, n_urls: int, n_hosts: int) -> dict:
+    """The pre-round-2 kernel: identical dataflow except the unseen filter
+    is the two-branch union form (recomputes dedup + probe per branch)."""
     from crawler_spark import benchmarks as B
     from crawler_spark.frontier.canon import (
         canon_expr,
@@ -40,11 +47,8 @@ def run_variant(spark, variant: str, n_urls: int, n_hosts: int) -> dict:
         url_hash_expr,
     )
     from crawler_spark.frontier.politeness import apply_politeness_budget
-    from crawler_spark.frontier.seen import BloomState, filter_unseen
+    from crawler_spark.frontier.seen import BloomState
     from crawler_spark.scheduler import _dedup_candidates
-
-    if variant in ("base", "noaqe"):
-        return B.frontier_round_kernel(spark, n_urls=n_urls, n_hosts=n_hosts)
 
     n_buckets, budget, seen_every = 32, 512, 3
     raw = B.synth_frontier(spark, n_urls, n_hosts)
@@ -82,14 +86,11 @@ def run_variant(spark, variant: str, n_urls: int, n_hosts: int) -> dict:
     )
     cands = _dedup_candidates(cands)
     probed = bloom_state.probe_broadcast(cands, bloom)
-    seen_side = seen.select("url_canon")
-    if variant == "onepassh":
-        seen_side = seen_side.hint("shuffle_hash")
-    fresh = probed.join(
-        seen_side,
-        (probed["url_canon"] == seen_side["url_canon"]) & probed["maybe_seen"],
-        "left_anti",
-    ).drop("maybe_seen")
+    # the historical two-branch form under test
+    definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+    survivors = maybe.join(seen.select("url_canon"), ["url_canon"], "left_anti")
+    fresh = definitely_new.unionByName(survivors)
     frontier = fresh.select(
         "url_canon",
         "host",
@@ -130,16 +131,30 @@ def run_variant(spark, variant: str, n_urls: int, n_hosts: int) -> dict:
     }
 
 
+def run_variant(spark, variant: str, n_urls: int, n_hosts: int) -> dict:
+    from crawler_spark.benchmarks import frontier_round_kernel
+
+    if variant == "union":
+        return _union_round(spark, n_urls, n_hosts)
+    if variant == "noaqe":
+        prev = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            return frontier_round_kernel(spark, n_urls=n_urls, n_hosts=n_hosts)
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev)
+    if variant != "base":
+        raise SystemExit(f"unknown variant {variant!r} (base|union|noaqe)")
+    return frontier_round_kernel(spark, n_urls=n_urls, n_hosts=n_hosts)
+
+
 def main() -> None:
     variant = sys.argv[1] if len(sys.argv) > 1 else "base"
     n_urls = int(sys.argv[2]) if len(sys.argv) > 2 else 6_000_000
     n_hosts = max(n_urls // 500, 1_000)
-    sys.path.insert(0, "/root/repo")
     import bench
 
     spark = bench.make_spark(32)
-    if variant == "noaqe":
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
     if variant.startswith("ab:"):
         # interleaved paired comparison in ONE process: same JVM warmth for
         # both arms, 4 alternating pairs, report per-arm walls + mins
@@ -157,10 +172,8 @@ def main() -> None:
     run_variant(spark, variant, max(n_urls // 10, 10_000), max(n_hosts // 10, 100))
     runs = [run_variant(spark, variant, n_urls, n_hosts) for _ in range(3)]
     best = min(runs, key=lambda r: r["round_wall_sec"])
-    st = spark.sparkContext.statusTracker()
     best["variant"] = variant
     best["walls"] = [r["round_wall_sec"] for r in runs]
-    best["n_jobs_total"] = len(st.getJobIdsForGroup(None) or [])
     print(json.dumps(best))
     spark.stop()
 

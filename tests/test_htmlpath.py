@@ -252,3 +252,11 @@ def test_comments_excluded_from_string_value_and_text():
     assert html_xpath_first(NODETYPE_DOC, "//div") == "hi"
     from crawler_spark.rules.htmlpath import html_visible_text
     assert "inner" not in html_visible_text(NODETYPE_DOC)
+
+
+def test_processing_instruction_whitespace_target_split():
+    # any XML whitespace separates target from content, not just a space
+    assert html_xpath_first("<body><?render\tmode=fast?></body>",
+                            "//processing-instruction('render')") == "mode=fast"
+    assert html_xpath_first("<body><?render\nmode=fast?></body>",
+                            "//processing-instruction()") == "mode=fast"
