@@ -188,16 +188,17 @@ def lsh_candidate_pairs(
     split. Output: distinct (id_a < id_b) candidate pairs.
     """
     rows_per_band = n_hashes // bands
-    band_rows = []
+    # one explode, not a B-arm union: union arms each re-run the signature
+    # FINAL aggregate (exchange reuse only covers the map side), and the
+    # self-join below would double that again (CLAUDE.md plan-shape rules)
+    entries = []
     for bidx in range(bands):
         cols = [F.col(f"mh{bidx * rows_per_band + r}") for r in range(rows_per_band)]
         key = F.md5(F.concat_ws("_", F.lit(str(bidx)), *[c.cast("string") for c in cols]))
-        band_rows.append(
-            sig.select(F.col(id_col).alias("doc"), F.lit(bidx).alias("band"), key.alias("bkey"))
-        )
-    banded = band_rows[0]
-    for b in band_rows[1:]:
-        banded = banded.unionByName(b)
+        entries.append(F.struct(F.lit(bidx).alias("band"), key.alias("bkey")))
+    banded = sig.select(
+        F.col(id_col).alias("doc"), F.explode(F.array(*entries)).alias("e")
+    ).select("doc", F.col("e.band").alias("band"), F.col("e.bkey").alias("bkey"))
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -278,20 +279,17 @@ def simhash_near_dups(
     assert blocks >= max_hamming + 1, "need r+1 disjoint blocks to guarantee recall"
     block_bits = bits // blocks
     mask = (1 << block_bits) - 1
-    block_rows = []
+    # one explode, not a blocks-arm union (same recompute rationale as
+    # lsh_candidate_pairs: union arms re-run the simhash aggregate)
+    entries = []
     for k in range(blocks):
         key = F.shiftright(F.col("simhash"), k * block_bits).bitwiseAND(F.lit(mask))
-        block_rows.append(
-            sim.select(
-                F.col(id_col).alias("doc"),
-                F.col("simhash").alias("sh"),
-                F.lit(k).alias("blk"),
-                key.alias("bkey"),
-            )
-        )
-    banded = block_rows[0]
-    for b in block_rows[1:]:
-        banded = banded.unionByName(b)
+        entries.append(F.struct(F.lit(k).alias("blk"), key.alias("bkey")))
+    banded = sim.select(
+        F.col(id_col).alias("doc"),
+        F.col("simhash").alias("sh"),
+        F.explode(F.array(*entries)).alias("e"),
+    ).select("doc", "sh", F.col("e.blk").alias("blk"), F.col("e.bkey").alias("bkey"))
     l, r = banded.alias("l"), banded.alias("r")
     return (
         l.join(r, ["blk", "bkey"])
@@ -433,9 +431,16 @@ def connected_components(
     applied to graph state; a 100 TB corpus whose pair graph exceeds the
     cutoff takes the distributed path automatically.
     """
-    sym = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")).unionByName(
-        pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
-    )
+    # symmetrize with ONE pass (explode of both orientations), not a
+    # two-arm union that would re-run the expensive pair join per arm
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(a_col).alias("u"), F.col(b_col).alias("v")),
+                F.struct(F.col(b_col).alias("u"), F.col(a_col).alias("v")),
+            )
+        ).alias("e")
+    ).select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
     edges = sym.distinct().persist()
     n_edges = edges.count()
     if n_edges <= driver_cutoff:
