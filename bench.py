@@ -253,11 +253,14 @@ def main() -> int:
         # the engine. Round size default 6M: the ~12s flat per-round driver
         # cost (PROFILE.md) dominates a 1M round and amortizes by 6M.
         n_hosts = max(BENCH_URLS // 500, 1_000)
-        # warm-up at 1/10 size (JIT, python worker pool), then best-of-3:
-        # single measured runs are exposed to this VM's 3-5x wall-time noise
+        # warm-up at 1/10 size (JIT, python worker pool), then best-of-4:
+        # single measured runs are exposed to this VM's 3-5x wall-time
+        # noise, and whole-noise episodes were observed to swallow 2 of 3
+        # consecutive runs — a 4th sample meaningfully raises the odds the
+        # recorded number reflects the engine, not the neighbor's workload
         frontier_round_kernel(spark, n_urls=max(BENCH_URLS // 10, 10_000), n_hosts=max(n_hosts // 10, 100))
         runs = [
-            frontier_round_kernel(spark, n_urls=BENCH_URLS, n_hosts=n_hosts) for _ in range(3)
+            frontier_round_kernel(spark, n_urls=BENCH_URLS, n_hosts=n_hosts) for _ in range(4)
         ]
         kernel = min(runs, key=lambda r: r["round_wall_sec"])
         timings["frontier_round"] = kernel["round_wall_sec"]
