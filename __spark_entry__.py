@@ -653,6 +653,45 @@ def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sitemaps_from_robots(df)
 
 
+def q_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The discovery channel composed end to end: robots ``Sitemap:``
+    directives → fetch-as-join against the sitemap corpus → ordered seeds.
+    Hazards exercised: every 7th host lists a sitemap the corpus does NOT
+    have FIRST (silent skip shifts sitemap_seq to 1 for the present one),
+    lastmod present on the first url only (NULL for the second).
+    Synthesized from doc_id-free range arithmetic (spark.range ↔ DuckDB
+    range); oracle restates the rows from the generating formula."""
+    from crawler_spark.sources.sitemap import discover_sitemap_seeds
+
+    robots = spark.range(30).select(
+        F.format_string("h%d.example.com", F.col("id")).alias("host"),
+        F.concat(
+            F.when(
+                F.pmod(F.col("id"), F.lit(7)) == 0,
+                F.format_string(
+                    "Sitemap: https://h%d.example.com/missing.xml\n", F.col("id")
+                ),
+            ).otherwise(F.lit("")),
+            F.lit("User-agent: *\nDisallow: /x\n"),
+            F.format_string("Sitemap: https://h%d.example.com/sm.xml", F.col("id")),
+        ).alias("robots_txt"),
+    )
+    corpus = spark.range(30).select(
+        F.format_string("https://h%d.example.com/sm.xml", F.col("id")).alias(
+            "sitemap_url"
+        ),
+        F.format_string(
+            "<urlset><url><loc>https://h%d.example.com/p/0</loc>"
+            "<lastmod>2024-03-%02d</lastmod></url>"
+            "<url><loc> https://h%d.example.com/p/1 </loc></url></urlset>",
+            F.col("id"),
+            F.pmod(F.col("id"), F.lit(28)) + 1,
+            F.col("id"),
+        ).alias("sitemap_xml"),
+    )
+    return discover_sitemap_seeds(robots, corpus)
+
+
 def q_politeness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F6 per-host politeness budget as row_number window: first 3 events
     per user in deterministic (ts, event_id) order."""
@@ -2511,8 +2550,10 @@ _R2_FRONT = [
     # comment()/processing-instruction() node tests
     "rule_xpath_axes",
     "rule_xpath_nodetypes",
-    # new this round: Sitemap: directive discovery from robots.txt
+    # new this round: Sitemap: directive discovery from robots.txt + the
+    # composed robots→sitemap→seeds pipeline
     "robots_sitemaps",
+    "sitemap_discovery",
     # upgraded this round from rows-only to a hashed DuckDB BFS oracle
     "crawl_bsp_rounds",
     # file-format roundtrips
@@ -2617,6 +2658,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_parse": q_robots_parse,
         "robots_crawl_delay": q_robots_crawl_delay,
         "robots_sitemaps": q_robots_sitemaps,
+        "sitemap_discovery": q_sitemap_discovery,
         "sitemap_seeds": q_sitemap_seeds,
         "sitemap_index_seeds": q_sitemap_index_seeds,
         "anchor_texts": q_anchor_texts,
@@ -3379,6 +3421,14 @@ FROM range(60) t(i)
 UNION ALL
 SELECT 'h' || i || '.example.com', 1, 'https://cdn.example.com/shared.xml'
 FROM range(60) t(i)""",
+        "sitemap_discovery": """
+SELECT 'h' || i || '.example.com' AS host,
+       'https://h' || i || '.example.com/p/' || u AS url,
+       CASE WHEN u = 0
+            THEN '2024-03-' || lpad(CAST(i % 28 + 1 AS VARCHAR), 2, '0') END AS lastmod,
+       CAST(CASE WHEN i % 7 = 0 THEN 1 ELSE 0 END AS INT) AS sitemap_seq,
+       CAST(u AS INT) AS url_seq
+FROM range(30) t(i), range(2) s(u)""",
         "robots_parse": """
 WITH r AS (
   SELECT 'h' || i || '.example.com' AS host,

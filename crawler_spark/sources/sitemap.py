@@ -51,6 +51,46 @@ def sitemap_seeds(
     )
 
 
+def discover_sitemap_seeds(
+    robots_df: DataFrame,
+    corpus_df: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+    corpus_url_col: str = "sitemap_url",
+    corpus_xml_col: str = "sitemap_xml",
+) -> DataFrame:
+    """The full discovery channel end to end: robots.txt ``Sitemap:``
+    directives → fetch-as-join against the sitemap corpus → ordered seed
+    rows ``(host, url, lastmod, sitemap_seq, url_seq)``.
+
+    ``sitemap_seq`` is the directive's document order within the host's
+    robots body, ``url_seq`` the url's order within its sitemap — the
+    frontier ordering contract extends through the composition exactly as
+    it does through sitemapindex nesting. Directives pointing at sitemaps
+    the corpus doesn't have skip silently (inner join — the pager.go:44-46
+    philosophy); hosts without directives contribute nothing. Both halves
+    are codegen map-only, the join is the only exchange."""
+    from crawler_spark.frontier.politeness import sitemaps_from_robots
+
+    found = sitemaps_from_robots(robots_df, host_col, text_col)
+    corpus = corpus_df.select(
+        F.col(corpus_url_col).alias("sitemap_url"),
+        F.col(corpus_xml_col).alias("_sm_xml"),
+    )
+    fetched = found.join(corpus, "sitemap_url")
+    return fetched.select(
+        "host",
+        F.col("pos").alias("sitemap_seq"),
+        F.posexplode(sitemap_entries_expr(F.col("_sm_xml"))).alias("url_seq", "e"),
+    ).select(
+        "host",
+        F.col("e.loc").alias("url"),
+        F.col("e.lastmod").alias("lastmod"),
+        F.col("sitemap_seq").cast("int").alias("sitemap_seq"),
+        F.col("url_seq").cast("int").alias("url_seq"),
+    )
+
+
 def sitemap_index_expr(xml: Column) -> Column:
     """``array<string>`` of child-sitemap locs from a ``<sitemapindex>``
     body, document order (blocks isolated on ``</sitemap>`` the same way
