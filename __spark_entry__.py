@@ -2541,6 +2541,94 @@ def entry(spark: SparkSession) -> DataFrame:
 # by scripts/check_oracle.py + pytest meanwhile. Rows-only entries sit just
 # before the greens: their driver check is weaker, so they spend window slots
 # last.
+# Round-3 rotation: the r2 window covered _R2_FRONT[0:50] (all green), so
+# re-fronting that set would waste the window. Head = the 16 relational
+# queries the driver has never reached (r2 window stopped at 50), then the 8
+# driver-stale re-checks (robots matching changed in 5260bf5 after their r1
+# check: path?query matching + merged `User-agent: *` groups; seen_anti_join
+# changed in 1736a0a's one-pass filter rewrite; outlink/politeness helpers
+# share those code paths), then queries new or upgraded in round 3, then the
+# r1-green set oldest-verification-first. After this window every
+# oracle-checked query has a driver verification against current code.
+_R3_FRONT = [
+    # -- never driver-checked (registry positions 50-65 in the r2 order) --
+    "doc_rank_in_source",
+    "nation_pair_volume",
+    "order_priority_lines",
+    "top_supplier_by_revenue",
+    "supplier_count_by_part",
+    "disjunctive_part_revenue",
+    "returned_revenue_by_customer",
+    "lineitem_measures_unpivot",
+    "discount_band_revenue",
+    "nation_market_share",
+    "product_profit_by_nation",
+    "price_qty_regression",
+    "fuzzy_title_pairs",
+    "fulfillment_lag_histogram",
+    "orders_month_seasonality",
+    "user_event_sequence",
+    # -- driver-stale: implementation changed after their r1 check --
+    "robots_parse",
+    "robots_semi_join",
+    "robots_rfc_precedence",
+    "robots_crawl_delay",
+    "seen_anti_join",
+    "outlink_tokens",
+    "politeness_topk",
+    "host_budget",
+    # -- new or upgraded in round 3 --
+    "redirect_chains",
+    "hll_seen_bound",
+    "stream_crawl_rounds",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "multimodal_features",
+    # -- r1-green fill, oldest verification first --
+    "rule_regex_first",
+    "rule_regex_all_distinct",
+    "rule_cut_first",
+    "rule_const",
+    "rule_noop",
+    "rule_xpath_first",
+    "rule_xpath_all",
+    "jd_transforms",
+    "pager_range_join",
+    "next_page_rule",
+    "cuckoo_seen_anti_join",
+    "sitemap_seeds",
+    "sitemap_index_seeds",
+    "anchor_texts",
+    "nofollow_outlinks",
+    "canonical_consolidation",
+    "frontier_union",
+    "pricing_summary",
+    "top_revenue_orders",
+    "region_rollup",
+    "distinct_users",
+    "running_sum",
+    "sliding_hour_value",
+    "event_value_distribution",
+    "session_window_stats",
+    "json_typed_parse",
+    "variant_shred",
+    "sessionize",
+    "events_hourly_rollup",
+    "events_type_hour_rollup",
+    "asof_last_click",
+    "local_supplier_volume",
+    "json_props_rollup",
+    "latest_event_per_user",
+    "events_type_pivot",
+    "quantity_quantiles",
+    "view_except_click",
+    "purchase_intersect_signup",
+    "events_in_promo_windows",
+    "customers_without_orders",
+    "returned_orders_by_priority",
+    "small_qty_part_revenue",
+]
+
 _R2_FRONT = [
     # red in r1 (oracle dtype bug, fixed) — re-verify first
     "sessionize",
@@ -2629,7 +2717,8 @@ _R2_FRONT = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _queries_base()
-    ordered = {k: base[k] for k in _R2_FRONT if k in base}
+    ordered = {k: base[k] for k in _R3_FRONT if k in base}
+    ordered.update({k: base[k] for k in _R2_FRONT if k in base and k not in ordered})
     ordered.update({k: v for k, v in base.items() if k not in ordered})
     return ordered
 

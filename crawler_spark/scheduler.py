@@ -34,10 +34,11 @@ Scale notes (10^10-URL frontier):
 from __future__ import annotations
 
 import json
+import logging
 import os
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, Window, functions as F
 from pyspark.sql.types import (
     IntegerType,
     LongType,
@@ -365,6 +366,22 @@ def crawl(
         # overcount n_scheduled and drift the size negative — degrade to
         # stopping rather than spinning empty rounds until max_rounds
         if frontier_size <= 0:
+            if frontier_size < 0:
+                # impossible under the contract — a duplicate-url_canon
+                # corpus double-counted n_scheduled. Stop (don't spin empty
+                # rounds), but leave an operator-visible trail: without this
+                # a truncated crawl is indistinguishable from a completed one.
+                logging.getLogger(__name__).warning(
+                    "frontier_size=%d went negative at round %d — the pages "
+                    "corpus violates the unique-url_canon contract "
+                    "(duplicate rows inflate n_scheduled); stopping early",
+                    frontier_size,
+                    rnd,
+                )
+                man = read_manifest(cfg.checkpoint_dir) or {}
+                man["frontier_size_negative"] = frontier_size
+                man["frontier_size_negative_round"] = rnd
+                _write_manifest(cfg, man)
             break
 
         scheduled, deferred = apply_politeness_budget(
@@ -484,16 +501,15 @@ def crawl(
                 "url_sketch",
             )
         )
+        # per-round scheduled total rides the metrics WRITE job as an
+        # observation (CollectMetrics) — feeds the driver-side frontier-size
+        # arithmetic that replaced the per-round limit(1).count() emptiness
+        # probe, with zero extra jobs (previously a re-read+agg of the
+        # just-written snapshot was one more tiny job per round).
+        obs = Observation(f"round_{rnd}_metrics")
+        metrics = metrics.observe(obs, F.sum("scheduled").alias("n_scheduled"))
         _write_state(metrics, _ckpt(cfg, rnd, "metrics"))
-        # per-round scheduled total from the just-written (tiny, per-bucket)
-        # metrics snapshot — feeds the driver-side frontier-size arithmetic
-        # that replaced the per-round limit(1).count() emptiness probe
-        n_scheduled = (
-            spark.read.parquet(_ckpt(cfg, rnd, "metrics"))
-            .agg(F.sum("scheduled").alias("s"))
-            .collect()[0]["s"]
-            or 0
-        )
+        n_scheduled = obs.get["n_scheduled"] or 0
 
         # --- next-round state -----------------------------------------------
         new_seen = fresh.select("url_hash", "bucket", "url_canon")

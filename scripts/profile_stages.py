@@ -60,18 +60,22 @@ def main() -> None:
             continue
         # REST timestamps are GMT ('...T03:02:19.123GMT') — parse as UTC
         # (timegm), NOT mktime/local, or the t_mark window filter shifts by
-        # the host's UTC offset and drops/pollutes the measured stages
+        # the host's UTC offset and drops/pollutes the measured stages.
+        # Keep the .%f milliseconds: t_mark has ms resolution, so a
+        # seconds-truncated parse can slip a stage across the window edge.
         import calendar
 
-        t0 = calendar.timegm(time.strptime(sub[:19], "%Y-%m-%dT%H:%M:%S")) * 1000
+        def _ms(tstr):
+            ms = calendar.timegm(time.strptime(tstr[:19], "%Y-%m-%dT%H:%M:%S")) * 1000
+            if len(tstr) > 19 and tstr[19] == "." and tstr[20:23].isdigit():
+                ms += int(tstr[20:23].ljust(3, "0"))
+            return ms
+
+        t0 = _ms(sub)
         if t0 < t_mark - 1000:
             continue
         comp = s.get("completionTime")
-        t1 = (
-            calendar.timegm(time.strptime(comp[:19], "%Y-%m-%dT%H:%M:%S")) * 1000
-            if comp
-            else t0
-        )
+        t1 = _ms(comp) if comp else t0
         rows.append(
             {
                 "stage": s["stageId"],
