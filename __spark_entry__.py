@@ -34,7 +34,7 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from crawler_spark.pipeline import dedup as dd
 from crawler_spark.pipeline import similarity as sim
@@ -730,6 +730,68 @@ def q_frontier_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks.unionByName(purchases)
         .groupBy("user_id")
         .agg(F.min("priority").alias("priority"), F.count(F.lit(1)).alias("n_sources"))
+    )
+
+
+def _redir_url(c: Column) -> Column:
+    """Deterministic synthetic url for id ``c`` (host = id mod 50)."""
+    return F.format_string("http://h%d.example.com/p%d", F.pmod(c, F.lit(50)), c)
+
+
+def q_redirect_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded redirect-chain resolution (frontier/canon.resolve_redirects)
+    — the declarative twin of the reference fetch's silent redirect
+    following (Go http.Get chases redirects inside the call,
+    /root/reference/util.go:37-52). K=3 left-join hops over a synthetic
+    edge table with straight chains (ids with i%5<3 link to i+1 → chains
+    of 1-3 hops), a 2-cycle (i%50∈{48,49} link to each other → the hop
+    budget, not the data, terminates), and no-edge urls (0 hops). The
+    fixed-iteration shape unrolls as chained CTEs in DuckDB (CLAUDE.md
+    rule) — each hop is one LEFT JOIN in both engines."""
+    from crawler_spark.frontier.canon import resolve_redirects
+
+    ids = spark.range(500)
+    frontier = ids.select(_redir_url(F.col("id")).alias("url_canon"))
+    chain = ids.where(F.pmod(F.col("id"), F.lit(5)) < 3).select(
+        _redir_url(F.col("id")).alias("src"), _redir_url(F.col("id") + 1).alias("dst")
+    )
+    cyc_fwd = ids.where(F.pmod(F.col("id"), F.lit(50)) == 48).select(
+        _redir_url(F.col("id")).alias("src"), _redir_url(F.col("id") + 1).alias("dst")
+    )
+    cyc_back = ids.where(F.pmod(F.col("id"), F.lit(50)) == 49).select(
+        _redir_url(F.col("id")).alias("src"), _redir_url(F.col("id") - 1).alias("dst")
+    )
+    edges = chain.unionByName(cyc_fwd).unionByName(cyc_back)
+    return resolve_redirects(frontier, edges, max_hops=3).select(
+        "url_canon", "url_final", F.col("n_hops").cast("int").alias("n_hops")
+    )
+
+
+def q_hll_seen_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct-URL lineage counters (frontier/seen.py,
+    F3c) with a cross-engine-checkable BOUND: the sketch estimate itself
+    is engine-specific (Datasketches registers) so it stays OUT of the
+    hashed columns — what the oracle checks is the exact distinct count
+    and the boolean `sketch_within_2pct` (lg_k=14 → ~0.8% RSE, so 2% is a
+    >2σ bound; a regression in sketching flips the bool and the hash).
+    Exercises the REAL lineage path: per-round sketches → hll_union_agg
+    merge → one estimate, no rescan of any round."""
+    from crawler_spark.frontier.seen import round_url_sketches, union_sketch_estimate
+
+    orders = _t(spark, sf_dir, "orders")
+    urls = orders.select(
+        F.pmod(F.col("o_orderkey"), F.lit(8)).cast("int").alias("round"),
+        F.col("o_custkey").cast("string").alias("url_canon"),
+    )
+    est = union_sketch_estimate(round_url_sketches(urls))
+    exact = urls.agg(F.count_distinct("url_canon").alias("n_exact"))
+    return exact.crossJoin(est).select(
+        "n_exact",
+        F.lit(8).alias("n_rounds"),
+        (
+            F.abs(F.col("approx_distinct_urls").cast("double") - F.col("n_exact"))
+            <= F.lit(0.02) * F.col("n_exact")
+        ).alias("sketch_within_2pct"),
     )
 
 
@@ -2757,6 +2819,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_topk": q_politeness_topk,
         "host_budget": q_host_budget,
         "frontier_union": q_frontier_union,
+        "redirect_chains": q_redirect_chains,
+        "hll_seen_bound": q_hll_seen_bound,
         # relational coverage (SURVEY §2.4)
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
@@ -3571,6 +3635,42 @@ SELECT user_id, min(priority) AS priority, count(*) AS n_sources FROM (
   UNION ALL
   SELECT user_id, 1 AS priority FROM events WHERE event_type = 'purchase'
 ) GROUP BY user_id""",
+        # fixed-iteration redirect resolution unrolled as chained CTEs (one
+        # LEFT JOIN per hop, mirroring resolve_redirects' K bounded joins)
+        "redirect_chains": """
+WITH ids AS (SELECT i FROM range(0, 500) t(i)),
+u AS (SELECT printf('http://h%d.example.com/p%d', i % 50, i) AS url FROM ids),
+edges AS (
+  SELECT printf('http://h%d.example.com/p%d', i % 50, i) AS src,
+         printf('http://h%d.example.com/p%d', (i + 1) % 50, i + 1) AS dst
+  FROM ids WHERE i % 5 < 3
+  UNION ALL
+  SELECT printf('http://h%d.example.com/p%d', i % 50, i),
+         printf('http://h%d.example.com/p%d', (i + 1) % 50, i + 1)
+  FROM ids WHERE i % 50 = 48
+  UNION ALL
+  SELECT printf('http://h%d.example.com/p%d', i % 50, i),
+         printf('http://h%d.example.com/p%d', (i - 1) % 50, i - 1)
+  FROM ids WHERE i % 50 = 49
+),
+h0 AS (SELECT url AS url_canon, url AS url_final, 0 AS n_hops FROM u),
+h1 AS (SELECT url_canon, coalesce(dst, url_final) AS url_final,
+              n_hops + CASE WHEN dst IS NULL THEN 0 ELSE 1 END AS n_hops
+       FROM h0 LEFT JOIN edges ON h0.url_final = edges.src),
+h2 AS (SELECT url_canon, coalesce(dst, url_final) AS url_final,
+              n_hops + CASE WHEN dst IS NULL THEN 0 ELSE 1 END AS n_hops
+       FROM h1 LEFT JOIN edges ON h1.url_final = edges.src),
+h3 AS (SELECT url_canon, coalesce(dst, url_final) AS url_final,
+              n_hops + CASE WHEN dst IS NULL THEN 0 ELSE 1 END AS n_hops
+       FROM h2 LEFT JOIN edges ON h2.url_final = edges.src)
+SELECT url_canon, url_final, CAST(n_hops AS INTEGER) AS n_hops FROM h3""",
+        # the sketch ESTIMATE is engine-specific (Datasketches registers) so
+        # it stays out of the hash; the oracle checks the exact distinct and
+        # the 2%-bound boolean (lg_k=14 ≈ 0.8% RSE → >2σ margin)
+        "hll_seen_bound": """
+SELECT count(DISTINCT CAST(o_custkey AS VARCHAR)) AS n_exact,
+       8 AS n_rounds, true AS sketch_within_2pct
+FROM orders""",
         "events_hourly_rollup": """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_hour,
        event_type,
