@@ -24,9 +24,10 @@ Operator families covered (SURVEY.md §2 + north-rule pipeline ops):
 * training-data pipeline — exact dedup, MinHash signatures, LSH candidate
   pairs + estimated Jaccard, SimHash, n-gram Jaccard, embedding cosine
   top-k, text quality + language-ID (pipeline/ package)
-* rows-only (no SQL oracle possible): the streaming crawl (RNG corpus)
-  and the env-stubbed multimodal codecs — everything else, including the
-  BSP crawl round and both ANN tiers, carries a value-exact DuckDB twin
+* rows-only (no SQL oracle possible): only the streaming crawl (RNG
+  corpus) — everything else, including the BSP crawl round, both ANN
+  tiers, and (since r3's from-scratch BMP/Y4M codecs) the multimodal
+  trio, carries a value-exact DuckDB twin
 """
 
 from __future__ import annotations
@@ -39,7 +40,6 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 from crawler_spark.pipeline import dedup as dd
 from crawler_spark.pipeline import similarity as sim
 from crawler_spark.pipeline import textstats as ts
-from crawler_spark.pipeline.multimodal import extract_features, make_fake_media
 from crawler_spark.rules.spark import CutRule, RegexRule
 
 # ---------------------------------------------------------------------------
@@ -2386,31 +2386,37 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media → feature rows via Arrow mapInPandas (decode stubbed:
-    deterministic md5 features; plumbing real)."""
-    media = make_fake_media(spark, n=64)
-    feats = extract_features(media, allow_stub=True)
-    return feats.select("media_id", "kind", "size_bytes", "content_md5")
+    """REAL image decode (r3): per-channel integer pixel sums + decoded
+    dimensions over 24-bit BMPs via the from-scratch pure-NumPy codec
+    (pipeline/multimodal.py::bmp_decode — header parse, 4-byte row
+    padding, bottom-up order, BGR swap). Integer sums are value-hashable
+    cross-engine; the oracle recomputes them from the pixel function."""
+    from crawler_spark.pipeline.multimodal import image_stats, make_bmp_media
+
+    return image_stats(make_bmp_media(spark, n=60))
 
 
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image resize as a map-only mapInPandas stage (decode stubbed:
-    deterministic fake preserving the (bytes,w,h)->bytes contract; plumbing
-    real). Output rows carry the resized blob's fingerprint/size, never
-    the pixels — no shuffle moves image bytes."""
-    from crawler_spark.pipeline.multimodal import resize_images
+    """REAL image resize (r3): BMP decode → integer nearest-neighbor
+    resize (src = (dst·src_dim)//target, replayable in SQL) → fingerprint
+    of the resized RGB buffer, as a map-only mapInPandas stage. Output
+    carries fingerprints/sizes, never pixels — no shuffle moves image
+    bytes. The DuckDB twin rebuilds each resized buffer from the pixel
+    function and hashes it (hex-then-md5, the portable-hash rule)."""
+    from crawler_spark.pipeline.multimodal import make_bmp_media, resize_images
 
-    media = make_fake_media(spark, n=64)
-    return resize_images(media, width=32, height=32, allow_stub=True)
+    return resize_images(make_bmp_media(spark, n=60), width=8, height=8, allow_stub=False)
 
 
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame sampling: mapInPandas fan-out emitting per-frame
-    fingerprints, never shuffling pixels (decode stubbed; plumbing real)."""
-    from crawler_spark.pipeline.multimodal import sample_frames
+    """REAL video frame sampling (r3): from-scratch YUV4MPEG2 parser
+    (pipeline/multimodal.py::y4m_frames) over deterministic C444 streams;
+    mapInPandas fan-out emits per-frame fingerprints, never pixels. The
+    DuckDB twin regenerates every sampled frame's plane bytes and hashes
+    them."""
+    from crawler_spark.pipeline.multimodal import make_y4m_media, sample_frames
 
-    media = make_fake_media(spark, n=64)
-    return sample_frames(media, every_n=4, allow_stub=True)
+    return sample_frames(make_y4m_media(spark, n=60), every_n=2, allow_stub=False)
 
 
 def q_events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4294,4 +4300,48 @@ FROM k GROUP BY source""",
             "AS n_subword_tokens FROM documents"
         ),
         "quality_by_source": _sql_quality_by_source(),
+        # -- multimodal (r3): real from-scratch BMP / Y4M codecs --
+        # Fixture pixels are pure integer functions of (media_id, x, y), so
+        # the oracle regenerates decoded/resized buffers in SQL. Fingerprint
+        # = md5 of the lowercase-hex serialization (DuckDB md5 is
+        # VARCHAR-only — the portable-hash rule).
+        "multimodal_features": """
+WITH m AS (SELECT i AS media_id, 16 + i % 9 AS W, 12 + i % 7 AS H
+           FROM range(0, 60) t(i)),
+px AS (
+  SELECT media_id, W, H,
+         (x*7 + y*13 + media_id) % 256 AS r,
+         (x*3 + y*5 + 2*media_id) % 256 AS g,
+         (x + y + 3*media_id) % 256 AS b
+  FROM m, range(0, 24) tx(x), range(0, 18) ty(y)
+  WHERE x < W AND y < H)
+SELECT media_id, W::BIGINT AS width, H::BIGINT AS height,
+       CAST(sum(r) AS BIGINT) AS sum_r,
+       CAST(sum(g) AS BIGINT) AS sum_g,
+       CAST(sum(b) AS BIGINT) AS sum_b
+FROM px GROUP BY media_id, W, H""",
+        "multimodal_resize": """
+WITH m AS (SELECT i AS media_id, 16 + i % 9 AS W, 12 + i % 7 AS H
+           FROM range(0, 60) t(i)),
+px AS (
+  SELECT media_id, y, x, (x * W) // 8 AS sx, (y * H) // 8 AS sy
+  FROM m, range(0, 8) ty(y), range(0, 8) tx(x))
+SELECT media_id, 8::BIGINT AS width, 8::BIGINT AS height,
+       md5(string_agg(printf('%02x%02x%02x',
+           (sx*7 + sy*13 + media_id) % 256,
+           (sx*3 + sy*5 + 2*media_id) % 256,
+           (sx + sy + 3*media_id) % 256), '' ORDER BY y, x)) AS resized_md5,
+       192::BIGINT AS resized_bytes
+FROM px GROUP BY media_id""",
+        "multimodal_frame_sample": """
+WITH v AS (SELECT i AS media_id, 6 + i % 5 AS nf FROM range(0, 60) t(i)),
+s AS (SELECT media_id, j, j * 2 AS f
+      FROM v, range(0, 5) tj(j) WHERE j * 2 < nf),
+b AS (SELECT media_id, j, p, k,
+             (media_id*31 + f*17 + p*7 + k) % 256 AS val
+      FROM s, range(0, 3) tp(p), range(0, 48) tk(k))
+SELECT media_id, j::BIGINT AS frame_no,
+       md5(string_agg(printf('%02x', val), '' ORDER BY p, k)) AS frame_md5,
+       144::BIGINT AS frame_bytes
+FROM b GROUP BY media_id, j""",
     }

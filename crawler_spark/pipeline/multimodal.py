@@ -7,13 +7,15 @@ sane shape for per-item Python work: one Python roundtrip per *batch*, not
 per row; batch size is governed by ``spark.sql.execution.arrow.
 maxRecordsPerBatch`` and should be lowered for large blobs).
 
-The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so the
-decode kernels are stubbed: ``deterministic_fake_features`` derives a fake
-feature vector from the bytes' md5 (stable, testable), and
-:func:`decode_image` raises ``NotImplementedError`` unless
-``allow_stub=True``. The Spark-side plumbing — schema, partitioning, UDF
-signature, batch iteration — is real and tested; swapping in a real codec
-touches ONE function.
+Codecs: the compressed-format libraries (PIL/ffmpeg/librosa) are NOT in
+this container, so two REAL uncompressed codecs are implemented from
+scratch in pure NumPy — 24-bit BI_RGB **BMP** (:func:`bmp_decode` /
+:func:`bmp_encode`, bottom-up and top-down row order, 4-byte row padding)
+and **Y4M** / YUV4MPEG2 (:func:`y4m_frames`, C444/C420 plane sizing).
+:func:`resize_images`, :func:`sample_frames`, and :func:`image_stats`
+operate on real pixels for those formats; compressed formats (PNG/JPEG/MP4)
+still raise ``NotImplementedError`` unless ``allow_stub`` routes them to
+the deterministic md5 fakes, which remain for plumbing tests.
 
 Scale notes: media blobs dominate row size → (a) never shuffle the blob:
 extract features first, drop the binary, shuffle the narrow result;
@@ -25,8 +27,10 @@ is a map-only stage — zero shuffle.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
@@ -81,6 +85,101 @@ def deterministic_fake_features(data: bytes, dim: int = FEATURE_DIM) -> list[flo
     return out
 
 
+# ---------------------------------------------------------------------------
+# real from-scratch codecs (pure NumPy, no external libraries)
+# ---------------------------------------------------------------------------
+
+def bmp_encode(pixels: np.ndarray) -> bytes:
+    """Encode an H×W×3 RGB uint8 array as a 24-bit uncompressed BI_RGB BMP
+    (BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up rows, 4-byte-padded
+    strides) — a REAL file any image viewer opens."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("expected H x W x 3 RGB array")
+    h, w = pixels.shape[:2]
+    pad = (-(w * 3)) % 4
+    stride = w * 3 + pad
+    img_size = stride * h
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + img_size, 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    return header + info + body.tobytes()
+
+
+def bmp_decode(data: bytes) -> np.ndarray:
+    """Decode a 24-bit uncompressed BI_RGB BMP to an H×W×3 RGB uint8 array.
+    Handles bottom-up (biHeight > 0) and top-down (biHeight < 0) row order
+    and 4-byte row padding. Compressed/paletted BMPs are rejected."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP (missing BM magic)")
+    off = struct.unpack_from("<I", data, 10)[0]
+    w, h = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    comp = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only 24-bit BI_RGB supported (bpp={bpp}, comp={comp})")
+    topdown, h = h < 0, abs(h)
+    stride = (w * 3 + 3) & ~3
+    arr = np.frombuffer(data, np.uint8, stride * h, off).reshape(h, stride)
+    rows = arr[:, : w * 3].reshape(h, w, 3)
+    if not topdown:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize with pure integer index math —
+    src_x = (dst_x * W) // width — so the mapping is exactly reproducible
+    in any engine's integer arithmetic (the DuckDB oracle replays it)."""
+    src_h, src_w = img.shape[:2]
+    ys = (np.arange(height) * src_h) // height
+    xs = (np.arange(width) * src_w) // width
+    return img[ys][:, xs]
+
+
+def _hex_md5(data: bytes) -> str:
+    """Payload fingerprint = md5 of the lowercase-hex serialization.
+    Hex-then-hash (not raw-bytes md5) because DuckDB's md5() is
+    VARCHAR-only — this keeps every media fingerprint replayable in the
+    oracle (the portable-hash discipline of dedup.md5h60, CLAUDE.md)."""
+    return hashlib.md5(data.hex().encode()).hexdigest()
+
+
+_Y4M_MAGIC = b"YUV4MPEG2"
+
+
+def y4m_frames(data: bytes) -> list[bytes]:
+    """Parse a YUV4MPEG2 (Y4M) stream and return the raw per-frame plane
+    bytes (Y then U then V, concatenated — exactly as stored). Supports
+    C444 (3·W·H bytes/frame) and C420 family (3·W·H/2); frame-level FRAME
+    parameter strings are tolerated and skipped."""
+    if not data.startswith(_Y4M_MAGIC):
+        raise ValueError("not a Y4M stream")
+    nl = data.index(b"\n")
+    w = h = 0
+    colorspace = "C420"
+    for tok in data[:nl].split(b" ")[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"C":
+            colorspace = tok.decode("ascii")
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    frame_size = 3 * w * h if colorspace.startswith("C444") else (3 * w * h) // 2
+    frames: list[bytes] = []
+    pos = nl + 1
+    while pos < len(data):
+        if data[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at byte {pos}")
+        pos = data.index(b"\n", pos) + 1  # skip optional frame params
+        frames.append(data[pos : pos + frame_size])
+        pos += frame_size
+    return frames
+
+
 def decode_image(data: bytes, allow_stub: bool = False) -> list[float]:
     """Decode an image to a feature vector. REAL CODEC NOT AVAILABLE HERE —
     stubbed behind ``allow_stub`` (PIL/opencv absent in this container)."""
@@ -93,24 +192,33 @@ def decode_image(data: bytes, allow_stub: bool = False) -> list[float]:
 
 
 def frame_sample(data: bytes, every_n: int = 10, allow_stub: bool = False) -> list[bytes]:
-    """Sample video frames. Stubbed: slices the byte stream deterministically
-    (a real impl shells out to ffmpeg over the same batch iterator)."""
+    """Sample every ``every_n``-th video frame. Y4M streams get the REAL
+    from-scratch parser (:func:`y4m_frames`); compressed containers (mp4…)
+    would need ffmpeg, absent here — stubbed byte-slicing behind
+    ``allow_stub`` for those."""
+    if data[: len(_Y4M_MAGIC)] == _Y4M_MAGIC:
+        return y4m_frames(data)[:: max(every_n, 1)]
     if not allow_stub:
-        raise NotImplementedError("video decoding requires ffmpeg (not in this container)")
+        raise NotImplementedError(
+            "compressed video requires ffmpeg (not in this container); "
+            "Y4M input is decoded for real, or pass allow_stub=True"
+        )
     chunk = max(1, len(data) // max(every_n, 1))
     return [data[i : i + chunk] for i in range(0, len(data), chunk * every_n)]
 
 
 def resize_image(data: bytes, width: int, height: int, allow_stub: bool = False) -> bytes:
-    """Resize an image to width×height. REAL CODEC NOT AVAILABLE HERE —
-    stubbed behind ``allow_stub`` (PIL/opencv absent). The stub preserves
-    the real op's contract — output is a pure function of
-    ``(bytes, width, height)`` with size proportional to the target dims
-    (fake 64:1 compression) — so the Spark plumbing and tests are real."""
+    """Resize an image to width×height. BMP input takes the REAL path —
+    :func:`bmp_decode` → :func:`resize_nearest` → :func:`bmp_encode` on
+    actual pixels. Compressed formats (PNG/JPEG) would need PIL/opencv,
+    absent here — stubbed behind ``allow_stub`` with the same
+    (bytes,w,h)→bytes contract."""
+    if data[:2] == b"BM":
+        return bmp_encode(resize_nearest(bmp_decode(data), width, height))
     if not allow_stub:
         raise NotImplementedError(
-            "image resizing requires PIL/opencv (not in this container); "
-            "pass allow_stub=True for the deterministic fake"
+            "compressed-image resizing requires PIL/opencv (not in this "
+            "container); BMP input is resized for real, or pass allow_stub=True"
         )
     target = max(1, (width * height * 3) // 64)
     out = bytearray()
@@ -145,24 +253,69 @@ def resize_images(
     rather than returning it through a shuffle. Non-image rows are
     filtered out up front, so Spark prunes them at the scan."""
 
+    def fingerprint(b) -> tuple[str, int]:
+        data = bytes(b) if b is not None else b""
+        if data[:2] == b"BM":
+            # REAL path: decode → nearest-neighbor resize → fingerprint the
+            # raw RGB pixel buffer (format-independent: two encodings of
+            # the same pixels fingerprint equal, and the DuckDB oracle can
+            # rebuild the buffer from the pixel function + integer index
+            # math without a BMP writer)
+            pix = resize_nearest(bmp_decode(data), width, height)
+            return _hex_md5(pix.tobytes()), int(pix.nbytes)
+        out = resize_image(data, width, height, allow_stub=allow_stub)
+        return _hex_md5(out), len(out)
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            resized = pdf["content"].map(
-                lambda b: resize_image(
-                    bytes(b) if b is not None else b"", width, height, allow_stub=allow_stub
-                )
-            )
+            fp = pdf["content"].map(fingerprint)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "width": width,
                     "height": height,
-                    "resized_md5": resized.map(lambda b: hashlib.md5(b).hexdigest()),
-                    "resized_bytes": resized.map(len).astype("int64"),
+                    "resized_md5": fp.map(lambda t: t[0]),
+                    "resized_bytes": fp.map(lambda t: t[1]).astype("int64"),
                 }
             )
 
     return media.filter(F.col("kind") == "image").mapInPandas(batches, RESIZED_SCHEMA)
+
+
+STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+    ]
+)
+
+
+def image_stats(media: DataFrame) -> DataFrame:
+    """REAL pixel statistics over BMP images: per-channel integer sums +
+    decoded dimensions. Integer outputs make the decode hard-gateable
+    cross-engine (float means would drift in the value hash); producing
+    them requires actually parsing the BMP (header fields, row padding,
+    bottom-up order, BGR channel swap) — a fake can't pass. Map-only
+    mapInPandas, blob dropped in-stage, nothing wide ever shuffles."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                pix = bmp_decode(bytes(content))
+                sums = pix.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                rows.append(
+                    (mid, pix.shape[1], pix.shape[0], int(sums[0]), int(sums[1]), int(sums[2]))
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "sum_r", "sum_g", "sum_b"]
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(batches, STATS_SCHEMA)
 
 
 def extract_features(media: DataFrame, allow_stub: bool = True) -> DataFrame:
@@ -225,7 +378,7 @@ def sample_frames(media: DataFrame, every_n: int = 10, allow_stub: bool = True) 
                 for j, fr in enumerate(frames):
                     ids.append(mid)
                     nos.append(j)
-                    md5s.append(hashlib.md5(fr).hexdigest())
+                    md5s.append(_hex_md5(fr))
                     sizes.append(len(fr))
             yield pd.DataFrame(
                 {
@@ -237,6 +390,55 @@ def sample_frames(media: DataFrame, every_n: int = 10, allow_stub: bool = True) 
             )
 
     return media.mapInPandas(batches, FRAMES_SCHEMA)
+
+
+def bmp_test_pixels(media_id: int, w: int, h: int) -> np.ndarray:
+    """Deterministic test image: pixel (x,y) of image ``media_id`` has
+    r=(7x+13y+id)%256, g=(3x+5y+2id)%256, b=(x+y+3id)%256 — pure integer
+    arithmetic a SQL oracle replays exactly (per-pixel, per-channel)."""
+    xx = np.arange(w).reshape(1, w)
+    yy = np.arange(h).reshape(h, 1)
+    r = (xx * 7 + yy * 13 + media_id) % 256
+    g = (xx * 3 + yy * 5 + 2 * media_id) % 256
+    b = (xx + yy + 3 * media_id) % 256
+    return np.stack(np.broadcast_arrays(r, g, b), axis=-1).astype(np.uint8)
+
+
+def make_bmp_media(spark, n: int = 60) -> DataFrame:
+    """REAL-codec media fixture: n tiny 24-bit BMPs (w=16+i%9, h=12+i%7)
+    with :func:`bmp_test_pixels` content. Tests/benches only."""
+    rows = []
+    for i in range(n):
+        w, h = 16 + i % 9, 12 + i % 7
+        data = bmp_encode(bmp_test_pixels(i, w, h))
+        rows.append(
+            (i, "image", data, "image/bmp", len(data), f"https://media.example.com/bmp/{i}.bmp")
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def y4m_test_stream(media_id: int, w: int = 8, h: int = 6, n_frames: int = 6) -> bytes:
+    """Deterministic C444 Y4M stream: frame f, plane p (Y/U/V), offset k has
+    byte value (31·id + 17·f + 7·p + k) % 256."""
+    out = bytearray(f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C444\n".encode())
+    k = np.arange(w * h)
+    for f in range(n_frames):
+        out += b"FRAME\n"
+        vals = (media_id * 31 + f * 17 + (np.arange(3).reshape(3, 1) * 7 + k)) % 256
+        out += vals.astype(np.uint8).tobytes()
+    return bytes(out)
+
+
+def make_y4m_media(spark, n: int = 60) -> DataFrame:
+    """REAL-codec video fixture: n tiny Y4M streams (8×6 C444, 6+i%5
+    frames) with :func:`y4m_test_stream` content. Tests/benches only."""
+    rows = []
+    for i in range(n):
+        data = y4m_test_stream(i, 8, 6, 6 + i % 5)
+        rows.append(
+            (i, "video", data, "video/x-y4m", len(data), f"https://media.example.com/y4m/{i}.y4m")
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def make_fake_media(spark, n: int = 64, seed: int = 5) -> DataFrame:

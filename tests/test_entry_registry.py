@@ -29,10 +29,8 @@ def test_all_query_entries_callable_and_rows_only_documented():
         # RNG corpus (make_corpus) is not SQL-replayable; batch-equivalence
         # is pinned by tests/test_streaming.py instead
         "stream_crawl_rounds",
-        # codecs env-stubbed (no PIL/ffmpeg); plumbing pinned by pytest
-        "multimodal_features",
-        "multimodal_frame_sample",
-        "multimodal_resize",
+        # (r3) the multimodal trio left this set: real from-scratch BMP/Y4M
+        # codecs gave them value-hashed DuckDB twins
     }, f"unexpected rows-only queries: {sorted(rows_only)}"
 
 

@@ -467,7 +467,10 @@ def test_sample_frames_matches_python_kernel(spark):
         if row["kind"] != "video":
             continue
         for j, fr in enumerate(frame_sample(bytes(row["content"]), 4, allow_stub=True)):
-            want[(row["media_id"], j)] = (hashlib.md5(fr).hexdigest(), len(fr))
+            want[(row["media_id"], j)] = (
+                hashlib.md5(fr.hex().encode()).hexdigest(),
+                len(fr),
+            )
     assert got == want and len(want) > 0
 
 
@@ -494,13 +497,118 @@ def test_resize_images_matches_python_kernel(spark):
         if row["kind"] != "image":
             continue
         rb = resize_image(bytes(row["content"]), 32, 32, allow_stub=True)
-        want[row["media_id"]] = (hashlib.md5(rb).hexdigest(), len(rb))
+        want[row["media_id"]] = (hashlib.md5(rb.hex().encode()).hexdigest(), len(rb))
     assert got == want and len(want) > 0
     # fake 64:1 compression of a 32x32x3 target
     assert all(n == (32 * 32 * 3) // 64 for _, n in got.values())
     # real-codec gate: without allow_stub the op must refuse, not fake
     with pytest.raises(NotImplementedError):
         resize_image(b"x", 8, 8)
+
+
+def test_bmp_codec_roundtrip_and_layout():
+    """From-scratch BMP codec: encode→decode is identity across widths that
+    exercise every 4-byte-padding case; top-down (negative height) BMPs
+    decode too; non-BMP and compressed inputs are rejected."""
+    import struct
+
+    import numpy as np
+
+    from crawler_spark.pipeline.multimodal import (
+        bmp_decode,
+        bmp_encode,
+        bmp_test_pixels,
+    )
+
+    for w in (1, 2, 3, 4, 5, 16, 17):  # w%4 covers all pad widths
+        pix = bmp_test_pixels(9, w, 5)
+        data = bmp_encode(pix)
+        assert data[:2] == b"BM" and len(data) == 54 + ((w * 3 + 3) & ~3) * 5
+        assert np.array_equal(bmp_decode(data), pix)
+    # top-down variant: flip rows, negate biHeight — same decoded image
+    pix = bmp_test_pixels(3, 6, 4)
+    data = bytearray(bmp_encode(pix[::-1]))
+    data[22:26] = struct.pack("<i", -4)
+    assert np.array_equal(bmp_decode(bytes(data)), pix)
+    with pytest.raises(ValueError):
+        bmp_decode(b"PNG not a bmp")
+
+
+def test_resize_nearest_integer_mapping():
+    """Nearest-neighbor uses (dst*src)//target index math exactly."""
+    import numpy as np
+
+    from crawler_spark.pipeline.multimodal import bmp_test_pixels, resize_nearest
+
+    pix = bmp_test_pixels(1, 20, 14)
+    out = resize_nearest(pix, 8, 8)
+    assert out.shape == (8, 8, 3)
+    for y in range(8):
+        for x in range(8):
+            assert (out[y, x] == pix[(y * 14) // 8, (x * 20) // 8]).all()
+
+
+def test_y4m_parse_and_real_frame_sampling():
+    """From-scratch Y4M parser: frame count/size for C444 and C420, frame
+    params tolerated, and frame_sample takes the REAL path (no allow_stub)
+    for Y4M input."""
+    from crawler_spark.pipeline.multimodal import (
+        frame_sample,
+        y4m_frames,
+        y4m_test_stream,
+    )
+
+    data = y4m_test_stream(7, 8, 6, 9)
+    frames = y4m_frames(data)
+    assert len(frames) == 9 and all(len(f) == 3 * 8 * 6 for f in frames)
+    # real path without allow_stub; every 2nd frame, original order kept
+    sampled = frame_sample(data, every_n=2)
+    assert sampled == frames[::2]
+    # C420 plane sizing + frame-level params after the FRAME keyword
+    c420 = (
+        b"YUV4MPEG2 W4 H4 C420jpeg\n"
+        + b"FRAME Xparam\n" + bytes(range(24))
+        + b"FRAME\n" + bytes(range(24, 48))
+    )
+    fr = y4m_frames(c420)
+    assert len(fr) == 2 and len(fr[0]) == 24 and fr[1] == bytes(range(24, 48))
+    with pytest.raises(ValueError):
+        y4m_frames(b"RIFF not y4m")
+
+
+def test_real_bmp_resize_and_stats_via_spark(spark):
+    """resize_images and image_stats run the REAL pixel path on BMP media:
+    fingerprints equal a NumPy-only reimplementation, and channel sums
+    require an actual decode (header, padding, bottom-up, BGR swap)."""
+    import hashlib
+
+    import numpy as np
+
+    from crawler_spark.pipeline.multimodal import (
+        bmp_test_pixels,
+        image_stats,
+        make_bmp_media,
+        resize_images,
+        resize_nearest,
+    )
+
+    media = make_bmp_media(spark, n=12)
+    got = {
+        r["media_id"]: (r["resized_md5"], r["resized_bytes"])
+        for r in resize_images(media, 8, 8, allow_stub=False).collect()
+    }
+    stats = {r["media_id"]: r for r in image_stats(media).collect()}
+    for i in range(12):
+        pix = bmp_test_pixels(i, 16 + i % 9, 12 + i % 7)
+        rs = resize_nearest(pix, 8, 8)
+        assert got[i] == (
+            hashlib.md5(rs.tobytes().hex().encode()).hexdigest(),
+            192,
+        )
+        s = stats[i]
+        sums = pix.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+        assert (s["width"], s["height"]) == (16 + i % 9, 12 + i % 7)
+        assert (s["sum_r"], s["sum_g"], s["sum_b"]) == tuple(int(v) for v in sums)
 
 
 @pytest.mark.parametrize("cutoff", [0, 1_000_000])  # distributed / union-find
