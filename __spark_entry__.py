@@ -2285,6 +2285,18 @@ def q_crawl_bsp_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from crawler_spark.scheduler import CrawlConfig, crawl
 
+    pages, seeds, robots, politeness = _crawl_arith_inputs(spark)
+    ckpt = tempfile.mkdtemp(prefix="entry_crawl_")
+    cfg = CrawlConfig(checkpoint_dir=ckpt, max_rounds=CRAWL_ROUNDS, n_buckets=8)
+    res = crawl(spark, pages, seeds, robots, politeness, cfg)
+    return res.schedule.select("round", "host", "url", "priority", "seq", "fetched")
+
+
+def _crawl_arith_inputs(spark: SparkSession):
+    """The arithmetic crawl corpus (see q_crawl_bsp_rounds docstring) —
+    shared by the batch-BSP and streaming crawl queries so both engines
+    replay the identical input, and by their oracles via
+    _sql_crawl_common."""
     H, P = CRAWL_H, CRAWL_P
     hp = spark.range(H).select(F.col("id").alias("h")).crossJoin(
         spark.range(P).select(F.col("id").alias("p"))
@@ -2329,32 +2341,34 @@ def q_crawl_bsp_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.format_string("h%d.example", F.col("id")).alias("host"),
         (F.lit(2) + (F.col("id") % 2)).cast("int").alias("max_fetches_per_round"),
     )
-    ckpt = tempfile.mkdtemp(prefix="entry_crawl_")
-    cfg = CrawlConfig(checkpoint_dir=ckpt, max_rounds=CRAWL_ROUNDS, n_buckets=8)
-    res = crawl(spark, pages, seeds, robots, politeness, cfg)
-    return res.schedule.select("round", "host", "url", "priority", "seq", "fetched")
+    return pages, seeds, robots, politeness
 
 
 def q_stream_crawl_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Structured Streaming tier of the crawl: the frontier is a watched
-    directory, each micro-batch is one politeness-bounded round run in
-    foreachBatch, outlinks/deferred urls feed back into the source until the
-    crawl drains. Stateful streaming loop — not SQL-expressible; equivalence
-    with the batch oracle is pinned by tests/test_streaming.py."""
+    directory, each availableNow micro-batch is one politeness-bounded
+    round run in foreachBatch, outlinks/deferred urls feed back into the
+    source until the crawl drains.
+
+    Value-hashed since r3: driven over the SAME arithmetic corpus as
+    q_crawl_bsp_rounds (one pass == one batch == one BSP round), so the
+    drained schedule replays as chained CTEs in DuckDB (_sql_stream_crawl).
+    The twin differs from the batch oracle exactly where the engines
+    differ: child admission key = (parent seq, in-page pos) and
+    seq = batch_id·2^32 + within-batch admission rank (replay-stable, no
+    cross-batch counter — see streaming/crawl_stream.py). The RNG-corpus
+    drain/equivalence properties remain pinned by tests/test_streaming.py."""
     import tempfile
 
-    from crawler_spark.corpus.generator import make_corpus
     from crawler_spark.streaming import StreamCrawlConfig, stream_crawl
 
-    tables = make_corpus(seed=11, n_hosts=6, pages_per_host=10, n_seed_hosts=3)
-    pages = spark.createDataFrame(tables["pages"])
-    seeds = spark.createDataFrame(tables["seeds"])
-    robots = spark.createDataFrame(tables["robots"])
-    politeness = spark.createDataFrame(tables["politeness"])
+    pages, seeds, robots, politeness = _crawl_arith_inputs(spark)
     work = tempfile.mkdtemp(prefix="entry_stream_crawl_")
-    cfg = StreamCrawlConfig(work_dir=work, default_budget=16, n_buckets=8, max_passes=12)
+    cfg = StreamCrawlConfig(
+        work_dir=work, default_budget=16, n_buckets=8, max_passes=CRAWL_ROUNDS
+    )
     res = stream_crawl(spark, pages, seeds, robots, politeness, cfg)
-    return res["schedule"].select("batch_id", "host", "url", "priority", "fetched")
+    return res["schedule"].select("batch_id", "host", "url", "priority", "seq", "fetched")
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2973,19 +2987,13 @@ def _sql_simhash(bits: int) -> str:
     )
 
 
-def _sql_crawl_bsp() -> str:
-    """DuckDB twin of q_crawl_bsp_rounds: the 3 BSP rounds unrolled as
-    chained CTEs over the same arithmetic corpus (CLAUDE.md fixed-iteration
-    rule). Replays, per round: per-host politeness window (row_number ≤
-    budget), fetch = corpus membership, outlink expansion with per-page
-    positions from the generating formula, batch first-occurrence dedup,
-    seen anti-join (seen grows PRE-robots, like the engine), robots prefix
-    filter, and two-phase-equivalent seq assignment (row_number over
-    admission order + running offset)."""
+def _sql_crawl_common() -> str:
+    """Shared CTE prefix of the batch-BSP and streaming crawl oracles:
+    the arithmetic corpus, its outlink formula, and the politeness
+    budgets. One source of truth so the two twins can never silently
+    diverge on the input they replay."""
     H, P = CRAWL_H, CRAWL_P
-    even_hosts = ", ".join(f"'h{h}.example'" for h in range(0, H, 2))
-    parts = [
-        f"""WITH corpus AS (
+    return f"""WITH corpus AS (
   SELECT h, p, 'https://h' || h || '.example/p/' || p AS url,
          'h' || h || '.example' AS host
   FROM range({H}) t(h), range({P}) u(p)),
@@ -3015,7 +3023,23 @@ links AS (
            'https://h' || h || '.example/dead/' || p, host
     FROM corpus WHERE p % 4 = 3
   )),
-budget AS (SELECT 'h' || h || '.example' AS host, 2 + (h % 2) AS b FROM range({H}) t(h)),
+budget AS (SELECT 'h' || h || '.example' AS host, 2 + (h % 2) AS b FROM range({H}) t(h))"""
+
+
+def _sql_crawl_bsp() -> str:
+    """DuckDB twin of q_crawl_bsp_rounds: the 3 BSP rounds unrolled as
+    chained CTEs over the same arithmetic corpus (CLAUDE.md fixed-iteration
+    rule). Replays, per round: per-host politeness window (row_number ≤
+    budget), fetch = corpus membership, outlink expansion with per-page
+    positions from the generating formula, batch first-occurrence dedup,
+    seen anti-join (seen grows PRE-robots, like the engine), robots prefix
+    filter, and two-phase-equivalent seq assignment (row_number over
+    admission order + running offset)."""
+    H, P = CRAWL_H, CRAWL_P
+    even_hosts = ", ".join(f"'h{h}.example'" for h in range(0, H, 2))
+    parts = [
+        _sql_crawl_common()
+        + f""",
 frontier0 AS (
   SELECT 'https://h' || h || '.example/p/0' AS url, 'h' || h || '.example' AS host,
          (h % 2) AS priority, 0 AS round_added, h AS seq
@@ -3066,6 +3090,80 @@ frontier{n + 1} AS (
     parts.append(
         f"""
 SELECT CAST(round AS INT) AS round, host, url,
+       CAST(priority AS INT) AS priority, CAST(seq AS BIGINT) AS seq, fetched
+FROM ({union})"""
+    )
+    return "".join(parts)
+
+
+def _sql_stream_crawl() -> str:
+    """DuckDB twin of q_stream_crawl_rounds: the streaming tier's 3
+    availableNow micro-batches unrolled as chained CTEs over the shared
+    arithmetic corpus (_sql_crawl_common). Replays the streaming engine's
+    semantics exactly where they differ from the batch BSP oracle
+    (crawler_spark/streaming/crawl_stream.py::_round_fn):
+
+    * child admission key = (parent streaming seq, in-page position) —
+      no parent-priority term;
+    * seq = batch_id·2^32 + 1-based within-batch admission rank over the
+      post-robots admitted set (so seeds get seq h+1 in batch 0);
+    * round_added = the ADMITTING batch (children of batch n are admitted
+      by batch n+1, whose input is batch n's feedback file);
+    * seen delta per batch = pre-robots fresh discoveries, anti-joined by
+      later batches — identical to the batch engine's discipline."""
+    H, P = CRAWL_H, CRAWL_P
+    even_hosts = ", ".join(f"'h{h}.example'" for h in range(0, H, 2))
+    two32 = 1 << 32
+    parts = [
+        _sql_crawl_common()
+        + f""",
+frontier0 AS (
+  SELECT 'https://h' || h || '.example/p/0' AS url, 'h' || h || '.example' AS host,
+         (h % 2) AS priority, 0 AS round_added, h + 1 AS seq
+  FROM range({H}) s(h)),
+seen0 AS (SELECT url FROM frontier0)"""
+    ]
+    for n in range(CRAWL_ROUNDS):
+        parts.append(
+            f""",
+r{n}_rank AS (
+  SELECT f.*, row_number() OVER (PARTITION BY f.host
+      ORDER BY f.priority, f.round_added, f.seq) AS rk
+  FROM frontier{n} f),
+r{n}_sched AS (SELECT r.* FROM r{n}_rank r JOIN budget b USING (host) WHERE r.rk <= b.b),
+r{n}_out AS (
+  SELECT {n} AS batch_id, s.host, s.url, s.priority, s.seq,
+         EXISTS (SELECT 1 FROM corpus c WHERE c.url = s.url) AS fetched
+  FROM r{n}_sched s),
+r{n}_links AS (
+  SELECT l.child AS url, l.child_host AS host, s.seq AS fa, l.pos AS fb
+  FROM r{n}_sched s JOIN corpus c ON c.url = s.url
+       JOIN links l ON l.h = c.h AND l.p = c.p),
+r{n}_cand AS (
+  SELECT url, host, fa, fb FROM (
+    SELECT url, host, fa, fb,
+           row_number() OVER (PARTITION BY url ORDER BY fa, fb) AS rn
+    FROM r{n}_links) WHERE rn = 1),
+r{n}_fresh AS (
+  SELECT c.* FROM r{n}_cand c
+  WHERE NOT EXISTS (SELECT 1 FROM seen{n} s WHERE s.url = c.url)),
+seen{n + 1} AS (SELECT url FROM seen{n} UNION ALL SELECT url FROM r{n}_fresh),
+r{n}_new AS (
+  SELECT url, host, 0 AS priority, {n + 1} AS round_added,
+         {(n + 1) * two32} + row_number() OVER (ORDER BY fa, fb) AS seq
+  FROM r{n}_fresh
+  WHERE NOT (host IN ({even_hosts})
+             AND regexp_extract(url, 'https://[^/]+(/.*)', 1) LIKE '/p/1%')),
+frontier{n + 1} AS (
+  SELECT r.url, r.host, r.priority, r.round_added, r.seq
+  FROM r{n}_rank r JOIN budget b USING (host) WHERE r.rk > b.b
+  UNION ALL
+  SELECT url, host, priority, round_added, seq FROM r{n}_new)"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM r{n}_out" for n in range(CRAWL_ROUNDS))
+    parts.append(
+        f"""
+SELECT CAST(batch_id AS BIGINT) AS batch_id, host, url,
        CAST(priority AS INT) AS priority, CAST(seq AS BIGINT) AS seq, fetched
 FROM ({union})"""
     )
@@ -3894,6 +3992,7 @@ SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_event
 FROM g GROUP BY user_id""",
         "rule_cut_all": _sql_cut_all(),
         "crawl_bsp_rounds": _sql_crawl_bsp(),
+        "stream_crawl_rounds": _sql_stream_crawl(),
         "dedup_keep_first": (
             f"SELECT doc_id, source, n_chars FROM documents "
             f"QUALIFY row_number() OVER (PARTITION BY {_FP} ORDER BY doc_id) = 1"

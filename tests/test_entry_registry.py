@@ -25,13 +25,10 @@ def test_all_query_entries_callable_and_rows_only_documented():
     # rows-only entries (no SQL twin) must be the known stateful/approx set —
     # adding a new oracle-less query silently weakens the gate, so list it here
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {
-        # RNG corpus (make_corpus) is not SQL-replayable; batch-equivalence
-        # is pinned by tests/test_streaming.py instead
-        "stream_crawl_rounds",
-        # (r3) the multimodal trio left this set: real from-scratch BMP/Y4M
-        # codecs gave them value-hashed DuckDB twins
-    }, f"unexpected rows-only queries: {sorted(rows_only)}"
+    # r3 emptied this set: the multimodal trio gained value-hashed twins via
+    # the real from-scratch BMP/Y4M codecs, and stream_crawl_rounds moved to
+    # the arithmetic corpus with a chained-CTE twin (_sql_stream_crawl)
+    assert rows_only == set(), f"unexpected rows-only queries: {sorted(rows_only)}"
 
 
 def test_oracle_sql_is_nonempty_select():
