@@ -506,6 +506,45 @@ def test_resize_images_matches_python_kernel(spark):
         resize_image(b"x", 8, 8)
 
 
+def test_ivf_sizing_rule_bounds_cluster_mass_at_sf01(spark):
+    """The documented sizing rule C = max(16, ceil(N/1024)) actually bounds
+    the pair-generation cost at sf0.1 (the r1/r2 'one knob to watch'):
+    with the rule-derived C, the Sigma cluster^2 proxy (semantic_dedup's
+    within-cluster pair work) stays within 2x of the balanced ideal N^2/C,
+    no cluster exceeds a 20% share, and every centroid owns vectors.
+    Measured headroom: ratio 1.01, max share 0.074 at n_iters=0."""
+    import os
+
+    from crawler_spark.pipeline.similarity import (
+        ivf_centroids,
+        ivf_n_centroids,
+        ivf_probe_expr,
+    )
+
+    # the rule's arithmetic at synthetic corpus sizes (floor / growth arms)
+    assert ivf_n_centroids(2_000) == 16
+    assert ivf_n_centroids(1_000_000) == 977
+    assert ivf_n_centroids(10**9) == 976_563
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF01_DIR", "/root/testdata/sf0.1")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    c = ivf_n_centroids(n)
+    cents = ivf_centroids(emb, "vec_id", "embedding", n_centroids=c, n_iters=0)
+    sizes = [
+        r["cnt"]
+        for r in emb.select(
+            ivf_probe_expr(F.col("embedding"), cents, nprobe=1)[0].alias("cid")
+        )
+        .groupBy("cid")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    ]
+    assert len(sizes) == c  # no empty clusters at this SF
+    assert sum(s * s for s in sizes) <= 2.0 * (n * n / c)
+    assert max(sizes) <= 0.2 * n
+
+
 def test_bmp_codec_roundtrip_and_layout():
     """From-scratch BMP codec: encode→decode is identity across widths that
     exercise every 4-byte-padding case; top-down (negative height) BMPs
