@@ -211,26 +211,73 @@ def stage_inputs(spark, src_dir: str, cpus: int) -> str:
     return staged
 
 
+# Canary: a pure pushed-scan aggregate whose plan has been stable since r1.
+# Its wall time measures the BOX, not the engine — if it deviates >1.3x from
+# the best prior recorded round, the whole run is flagged noisy (this VM has
+# documented 3-5x wall-time noise episodes; BENCH_r02's uniform 1.61x
+# inflation on untouched queries was exactly this failure mode).
+CANARY = "discount_band_revenue"
+CANARY_TOLERANCE = 1.3
+
+
+def _canary_baseline(name: str) -> float | None:
+    """Best prior recorded time for the canary across BENCH_r*.json."""
+    import glob
+
+    best = None
+    here = os.path.dirname(os.path.abspath(__file__))
+    for p in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            with open(p) as f:
+                d = json.load(f)
+            v = (d.get("parsed") or d).get("queries", {}).get(name)
+            if v and (best is None or v < best):
+                best = float(v)
+        except (OSError, ValueError):
+            continue
+    return best
+
+
+def _timed_samples(spark, fn, sf_dir, n: int) -> list[float]:
+    out = []
+    for _ in range(n):
+        t0 = time.monotonic()
+        force(fn(spark, sf_dir))
+        out.append(time.monotonic() - t0)
+    return out
+
+
 def main() -> int:
     import __spark_entry__ as E
 
     only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
+    load_before = os.getloadavg()
     spark = make_spark(CPUS)
     sf_dir = SF_DIR if os.environ.get("BENCH_NO_STAGE") == "1" else stage_inputs(spark, SF_DIR, CPUS)
     qs = E.queries()
     timings: dict[str, float] = {}
+    resampled: list[str] = []
     for name in HEADLINE:
         if only and name not in only:
             continue
         fn = qs[name]
         df = fn(spark, sf_dir)  # build (untimed)
         force(df)  # warm JIT/readers once
-        best = float("inf")
-        for _ in range(2):  # best-of-2: VM wall-time noise (see BENCH.md)
-            t0 = time.monotonic()
-            force(fn(spark, sf_dir))
-            best = min(best, time.monotonic() - t0)
-        timings[name] = round(best, 3)
+        samples = _timed_samples(spark, fn, sf_dir, 2)  # best-of-2 baseline
+        # self-defense: a >1.5x spread between two back-to-back samples of
+        # the same warm query is a noise episode, not the engine — take up
+        # to 2 extra samples so the recorded best isn't a coin flip
+        extra = 0
+        while (
+            extra < 2
+            and min(samples) > 0.15
+            and max(samples) / min(samples) > 1.5
+        ):
+            samples += _timed_samples(spark, fn, sf_dir, 1)
+            extra += 1
+        if extra:
+            resampled.append(name)
+        timings[name] = round(min(samples), 3)
         # queries that persist() intermediates return lazy frames, so they
         # cannot unpersist themselves; leaked cache blocks otherwise pile
         # up as GC pressure that contaminates LATER queries' timings
@@ -243,6 +290,23 @@ def main() -> int:
         "cpus": CPUS,
         "queries": timings,
     }
+
+    # canary gate: compare this box's pure-scan time against the best prior
+    # round; a big deviation marks the WHOLE artifact as suspect
+    baseline = _canary_baseline(CANARY)
+    if baseline and CANARY in timings:
+        if timings[CANARY] > CANARY_TOLERANCE * baseline:
+            # one retry before declaring the run noisy
+            samples = _timed_samples(spark, qs[CANARY], sf_dir, 2)
+            spark.catalog.clearCache()
+            timings[CANARY] = round(min(timings[CANARY], *samples), 3)
+        result["canary"] = {
+            "name": CANARY,
+            "sec": timings[CANARY],
+            "best_prior_sec": baseline,
+        }
+        if timings[CANARY] > CANARY_TOLERANCE * baseline:
+            result["noisy"] = True
 
     if os.environ.get("BENCH_SKIP_KERNEL") != "1" and not only:
         from crawler_spark.benchmarks import frontier_round_kernel
@@ -269,6 +333,10 @@ def main() -> int:
         result["round_wall_sec"] = kernel["round_wall_sec"]
 
     result["value"] = round(sum(timings.values()), 3)
+    if resampled:
+        result["resampled"] = resampled
+    result["loadavg_before"] = [round(x, 2) for x in load_before]
+    result["loadavg_after"] = [round(x, 2) for x in os.getloadavg()]
     spark.stop()
     print(json.dumps(result))
     return 0

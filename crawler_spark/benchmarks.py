@@ -164,12 +164,9 @@ def frontier_round_kernel(
         F.col("id").alias("first_occ_a"),
         F.lit(0).cast("long").alias("first_occ_b"),
     )
-    cands = (
-        cands.withColumn("host", host_expr(F.col("url_canon")))
-        .withColumn("bucket", host_bucket_expr(F.col("host"), n_buckets))
-        .withColumn("url_hash", url_hash_expr(F.col("url_canon")))
-    )
-    cands = _dedup_candidates(cands)
+    # host/bucket/url_hash derived post-dedup inside _dedup_candidates —
+    # the admission exchange carries only (url_canon, priority, occ)
+    cands = _dedup_candidates(cands, n_buckets)
     fresh = filter_unseen(cands, seen, bloom, bloom_state)
     frontier = fresh.select(
         "url_canon",

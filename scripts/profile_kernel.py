@@ -85,13 +85,8 @@ def main() -> int:
             F.col("id").alias("first_occ_a"),
             F.lit(0).cast("long").alias("first_occ_b"),
         )
-        cands = (
-            cands.withColumn("host", host_expr(F.col("url_canon")))
-            .withColumn("bucket", host_bucket_expr(F.col("host"), n_buckets))
-            .withColumn("url_hash", url_hash_expr(F.col("url_canon")))
-        )
         cands = mat("canon", cands)
-        dd = mat("dedup", _dedup_candidates(cands))
+        dd = mat("dedup", _dedup_candidates(cands, n_buckets))
         fresh = mat("bloom+anti", filter_unseen(dd, seen, bloom, bloom_state))
         frontier = fresh.select(
             "url_canon", "host", "bucket", "url_hash", "priority",

@@ -82,6 +82,48 @@ def test_bloom_no_false_negatives_and_low_fp(spark):
     assert fp < 25  # <5% at this sizing
 
 
+def test_jvm_probe_matches_numpy_kernel_bit_exact(spark):
+    """The r3 pure-JVM broadcast probe (bloom_test_expr) must reproduce the
+    numpy _test_bits kernel bit-for-bit — a false NEGATIVE would admit a
+    duplicate URL past the exactness backstop. Covers negative hashes and
+    the extremes of the signed-64 range (where the unsigned-shift h2
+    derivation differs between naive and correct translations)."""
+    from crawler_spark.frontier.seen import _test_bits
+
+    n_bits = 1 << 14
+    bs = BloomState(n_buckets=4, bits_per_bucket=n_bits)
+    rng = np.random.default_rng(11)
+    seed_hashes = rng.integers(-(2**63), 2**63 - 1, size=400).tolist() + [
+        0, -1, 2**63 - 1, -(2**63), 1,
+    ]
+    seed = spark.createDataFrame(
+        [(int(h) % 4, int(h)) for h in seed_hashes], "bucket int, url_hash long"
+    )
+    bloom = bs.merge(bs.empty(spark), seed)
+    probe_hashes = seed_hashes[:150] + rng.integers(
+        -(2**63), 2**63 - 1, size=600
+    ).tolist()
+    cands = spark.createDataFrame(
+        [(int(h) % 4, int(h), f"u{h}") for h in probe_hashes],
+        "bucket int, url_hash long, url_canon string",
+    )
+    got = {
+        r["url_hash"]: r["maybe_seen"]
+        for r in bs.probe_broadcast(cands, bloom).collect()
+    }
+    bitmaps = {
+        int(r["bucket"]): np.frombuffer(bytes(r["bitmap"]), dtype=np.uint64)
+        for r in bloom.collect()
+    }
+    for h in probe_hashes:
+        want = bool(
+            _test_bits(bitmaps[int(h) % 4], np.array([h], dtype=np.int64), n_bits)[0]
+        )
+        assert got[int(h)] == want, h
+    # and every seeded hash probes positive (no false negatives)
+    assert all(got[int(h)] for h in probe_hashes[:150])
+
+
 def test_filter_unseen_exact_with_bloom(spark):
     bs = BloomState(n_buckets=2, bits_per_bucket=1 << 12)
     seen_rows = [(i % 2, i * 7, f"https://h.example/p/{i}") for i in range(50)]
