@@ -104,6 +104,49 @@ def _probe_kernel(table: np.ndarray, stash: np.ndarray, h: np.ndarray) -> np.nda
     return hit
 
 
+def cuckoo_test_expr(url_hash, table, stash, n_tbl: int):
+    """Codegen cuckoo membership test — the JVM twin of ``_probe_kernel``.
+
+    Replays the numpy maths on signed longs: ``fp = (h >>> 48) % 0xFFFF +
+    1`` (logical shift; result fits [1, 0xFFFF]), ``i1 = h & (n_tbl-1)``
+    (non-negative), ``i2 = (i1 XOR fp·MIX) & mask`` (operands positive, so
+    signed XOR == unsigned). The slot table is the little-endian uint16
+    ``(n_tbl, 4)`` array from ``_encode``: slot ``s`` of table-bucket
+    ``i`` is the two bytes at offset ``(i·4 + s)·2`` (lo + hi·256). Stash
+    membership is ``array_contains`` on the decoded int64 key list with
+    key ``i·65536 + fp`` for both candidate buckets. NULL table (bucket
+    absent) → false, matching the numpy path. ``stash=None`` skips the
+    stash check (caller passes None when every stash is empty)."""
+    fp = F.pmod(F.shiftrightunsigned(url_hash, 48), F.lit(int(_FP_MOD))) + F.lit(1)
+    mask = F.lit(n_tbl - 1)
+    i1 = url_hash.bitwiseAND(mask)
+    i2 = i1.bitwiseXOR(fp * F.lit(int(_MIX))).bitwiseAND(mask)
+
+    def byte_at(off):
+        return F.ascii(
+            F.decode(table.substr((off + F.lit(1)).cast("int"), F.lit(1)), "ISO-8859-1")
+        )
+
+    def hit_in(i):
+        base = i * F.lit(_SLOTS * 2)
+        verdict = None
+        for s in range(_SLOTS):
+            off = base + F.lit(2 * s)
+            val = byte_at(off) + byte_at(off + F.lit(1)) * F.lit(256)
+            test = val == fp
+            verdict = test if verdict is None else (verdict | test)
+        return verdict
+
+    verdict = hit_in(i1) | hit_in(i2)
+    if stash is not None:
+        verdict = (
+            verdict
+            | F.array_contains(stash, i1 * F.lit(65536) + fp)
+            | F.array_contains(stash, i2 * F.lit(65536) + fp)
+        )
+    return F.coalesce(verdict, F.lit(False))
+
+
 def _place_rounds(
     table: np.ndarray, fp: np.ndarray, choices: list[np.ndarray]
 ) -> np.ndarray:
@@ -292,32 +335,37 @@ class CuckooState:
         )
 
     def probe_broadcast(self, candidates: DataFrame, state_df: DataFrame) -> DataFrame:
-        """Map-side probe, zero shuffle — right while the whole filter fits
-        executor memory; the partitioned :meth:`probe` is the 10^10-URL path."""
-        spark = candidates.sparkSession
+        """Map-side probe, PURE JVM since r3 (same rationale as
+        ``BloomState.probe_broadcast``): the per-bucket slot tables ride a
+        constant ``array<binary>`` literal (reference access via
+        ``element_at`` — a joined binary column would be copied per row by
+        ``UnsafeRow.getBinary``), the stashes an ``array<array<long>>``
+        literal, and :func:`cuckoo_test_expr` replays the numpy probe
+        kernel in codegen. A plain Project: zero shuffle, zero Python, and
+        the planner keeps seeing the candidates' partitioning, so the
+        exact anti-join above reuses the admission exchange instead of
+        re-shuffling every candidate (the Arrow form's ArrowEvalPython hid
+        it). Right while the whole filter fits executor memory; the
+        partitioned :meth:`probe` is the 10^10-URL path."""
         n_tbl = self.table_buckets
-        states = {
-            int(r["bucket"]): _decode(r["table"], r["stash"], n_tbl)
-            for r in state_df.collect()
-        }
-        bc = spark.sparkContext.broadcast(states)
-
-        @F.pandas_udf(BooleanType())
-        def _probe_udf(bucket: pd.Series, url_hash: pd.Series) -> pd.Series:
-            sts = bc.value
-            out = np.zeros(len(bucket), dtype=bool)
-            b_np = bucket.to_numpy()
-            h_np = url_hash.to_numpy(dtype=np.int64).astype(np.uint64)
-            for b in np.unique(b_np):
-                st = sts.get(int(b))
-                if st is None:
-                    continue
-                mask = b_np == b
-                out[mask] = _probe_kernel(st[0], st[1], h_np[mask])
-            return pd.Series(out)
-
+        tables: list[bytes | None] = [None] * self.n_buckets
+        stashes: list[list[int]] = [[] for _ in range(self.n_buckets)]
+        for r in state_df.collect():
+            b = int(r["bucket"])
+            if not 0 <= b < self.n_buckets:
+                continue
+            if r["table"] is not None:
+                tables[b] = bytes(r["table"])
+            if r["stash"]:
+                stashes[b] = np.frombuffer(bytes(r["stash"]), dtype=np.int64).tolist()
+        table = F.element_at(F.lit(tables), F.col("bucket") + 1)
+        stash = (
+            F.element_at(F.lit(stashes), F.col("bucket") + 1)
+            if any(stashes)
+            else None
+        )
         return candidates.withColumn(
-            "maybe_seen", _probe_udf(F.col("bucket"), F.col("url_hash"))
+            "maybe_seen", cuckoo_test_expr(F.col("url_hash"), table, stash, n_tbl)
         )
 
     def probe(self, candidates: DataFrame, state_df: DataFrame) -> DataFrame:

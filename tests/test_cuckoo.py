@@ -137,6 +137,34 @@ def test_merge_of_two_states_preserves_membership(spark, keyed):
     assert all(r["maybe_seen"] for r in probed)
 
 
+def test_jvm_broadcast_probe_stash_path_no_false_negatives(spark, keyed):
+    """Overfill a tiny table so inserts spill to the STASH, then require the
+    r3 JVM broadcast probe (array_contains over the decoded stash keys) to
+    find every member — a false negative there would admit duplicates.
+    Also pins bit-exactness vs the numpy kernel on the same state."""
+    cs = CuckooState(n_buckets=1, table_buckets=4)  # 16 slots, 120 keys
+    seen_rows = [(0, int(np.int64(h)), f"s{i}") for i, h in enumerate(_rng_hashes(3, 120))]
+    state = cs.merge(cs.empty(spark), keyed(seen_rows).select("bucket", "url_hash"))
+    rows = state.collect()
+    assert len(rows) == 1 and rows[0]["stash"] and len(rows[0]["stash"]) > 0
+    cand_rows = seen_rows + [
+        (0, int(np.int64(h)), f"n{i}") for i, h in enumerate(_rng_hashes(4, 200))
+    ]
+    got = {
+        r["url_canon"]: r["maybe_seen"]
+        for r in cs.probe_broadcast(keyed(cand_rows), state).collect()
+    }
+    assert all(got[u] for _, _, u in seen_rows)  # stash members found
+    from crawler_spark.frontier.cuckoo import _decode
+
+    table, stash = _decode(rows[0]["table"], rows[0]["stash"], 4)
+    want = _probe_kernel(
+        table, stash, np.array([h for _, h, _ in cand_rows], dtype=np.int64).astype(np.uint64)
+    )
+    for (b, h, u), w in zip(cand_rows, want):
+        assert got[u] == bool(w), (u, h)
+
+
 def test_cogroup_probe_matches_broadcast_probe(spark, keyed):
     cs = CuckooState(n_buckets=4, table_buckets=1 << 8)
     seen_rows = [(i % 4, i * 7, f"p{i}") for i in range(200)]
