@@ -1843,6 +1843,17 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.span_dedup(docs, "doc_id", "text", span_tokens=10)
 
 
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate removal: 5-token spans repeated in >=2
+    distinct documents of the same source are templates (nav/footer text a
+    site stamps on every page) and are stripped from EVERY copy; docs are
+    reassembled from surviving spans in original order."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.boilerplate_strip(
+        docs, "doc_id", "text", "source", span_tokens=5, min_docs=2
+    )
+
+
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full MinHash dedup ending: LSH pairs → threshold → transitive
     closure (connected components) → one keeper per duplicate cluster.
@@ -2666,6 +2677,7 @@ _R3_FRONT = [
     "multimodal_resize",
     "multimodal_frame_sample",
     "multimodal_features",
+    "boilerplate_strip",
     # -- r1-green fill, oldest verification first --
     "rule_regex_first",
     "rule_regex_all_distinct",
@@ -2900,6 +2912,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_est_jaccard": q_lsh_est_jaccard,
         "near_dup_clusters": q_near_dup_clusters,
         "span_dedup": q_span_dedup,
+        "boilerplate_strip": q_boilerplate_strip,
         "repetition_quality": q_repetition_quality,
         "tfidf_top_terms": q_tfidf_top_terms,
         "purchase_graph_pagerank": q_purchase_graph_pagerank,
@@ -3332,6 +3345,35 @@ agg AS (
          coalesce(string_agg(span, ' ' ORDER BY span_idx) FILTER (rn = 1), '') AS clean_text
   FROM ranked GROUP BY doc_id)
 SELECT d.doc_id, coalesce(a.n_spans, 0) AS n_spans, coalesce(a.n_kept, 0) AS n_kept,
+       coalesce(a.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def _sql_boilerplate_strip(w: int = 5, min_docs: int = 2) -> str:
+    """SQL twin of ``dedup.boilerplate_strip``: same tokenizer and span
+    windows as ``_sql_span_dedup``; the per-(source, span) distinct-doc
+    count is the plain COUNT(DISTINCT) formulation (the Spark side's
+    stacked-window form is a plan optimization, value-identical)."""
+    return f"""
+WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+n AS (SELECT doc_id, source, toks, CAST(ceil(len(toks) / {float(w)}) AS INT) AS ns FROM t),
+spans AS (
+  SELECT doc_id, source, CAST(i AS INT) AS span_idx,
+         array_to_string(toks[i*{w}+1 : i*{w}+{w}], ' ') AS span
+  FROM n, UNNEST(range(ns)) AS u(i)),
+counts AS (
+  SELECT source, span, COUNT(DISTINCT doc_id) AS ndocs
+  FROM spans GROUP BY source, span),
+agg AS (
+  SELECT s.doc_id, count(*) AS n_spans,
+         count(*) FILTER (c.ndocs >= {min_docs}) AS n_boiler,
+         coalesce(string_agg(s.span, ' ' ORDER BY s.span_idx)
+                  FILTER (c.ndocs < {min_docs}), '') AS clean_text
+  FROM spans s JOIN counts c ON s.source = c.source AND s.span = c.span
+  GROUP BY s.doc_id)
+SELECT d.doc_id, coalesce(a.n_spans, 0) AS n_spans,
+       coalesce(a.n_boiler, 0) AS n_boiler,
        coalesce(a.clean_text, '') AS clean_text
 FROM documents d LEFT JOIN agg a USING (doc_id)
 """
@@ -4006,6 +4048,7 @@ FROM g GROUP BY user_id""",
         "lsh_est_jaccard": _sql_lsh_est_jaccard(),
         "near_dup_clusters": _sql_near_dup_clusters(),
         "span_dedup": _sql_span_dedup(),
+        "boilerplate_strip": _sql_boilerplate_strip(),
         "repetition_quality": _sql_repetition_quality(),
         "tfidf_top_terms": _sql_tfidf_top_terms(),
         "purchase_graph_pagerank": _sql_pagerank(),

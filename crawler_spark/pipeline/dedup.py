@@ -591,3 +591,87 @@ def span_dedup(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+def boilerplate_strip(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    span_tokens: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-group template removal (the CCNet/RefinedWeb boilerplate pass):
+    split each doc into fixed ``span_tokens``-token windows and drop every
+    span that occurs in >= ``min_docs`` DISTINCT documents of the same
+    ``group_col`` (site nav, headers, cookie banners — text a host repeats
+    across its pages), then reassemble each doc from its surviving spans in
+    original order.
+
+    Differs from :func:`span_dedup` (global keep-FIRST): boilerplate is
+    removed from EVERY copy including the first, and the repetition
+    threshold is per-group, so phrases common across *different* sites
+    survive.
+
+    Output: ``(id, n_spans, n_boiler, clean_text)`` for EVERY input doc.
+
+    Scale shape: the distinct-doc count per (group, span) is computed with
+    two stacked window functions over ONE (group, span) exchange — a lag()
+    marks each doc's first copy of a span in (id, span_idx) order, an
+    unordered sum over the same partitioning counts those marks — instead
+    of a groupBy(countDistinct) + self-join that would shuffle the span
+    text twice. Reassembly is the per-doc groupBy. At 100 TB, key the
+    window on md5(span) and keep text only on surviving rows (same note as
+    :func:`span_dedup`); the (group, span) key is uniform by construction —
+    a span hot across MANY groups still splits per group, and a span hot
+    within one group is capped by that group's doc count.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
+    nspan = F.ceil(F.size(toks) / F.lit(float(span_tokens))).cast("int")
+    idx = F.when(nspan >= 1, F.sequence(F.lit(0), nspan - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    spans = spread(df).select(
+        F.col(id_col),
+        F.col(group_col),
+        F.posexplode(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", F.slice(toks, i * span_tokens + 1, span_tokens)
+                ),
+            )
+        ).alias("span_idx", "span"),
+    )
+    w_ord = Window.partitionBy(group_col, "span").orderBy(F.col(id_col), F.col("span_idx"))
+    w_all = Window.partitionBy(group_col, "span")
+    prev_id = F.lag(F.col(id_col)).over(w_ord)
+    first_in_doc = prev_id.isNull() | (prev_id != F.col(id_col))
+    # two Window operators, materialized separately (Spark rejects a window
+    # expression nested inside another window's aggregate) — but both share
+    # the (group, span) partitioning, so Catalyst plans ONE exchange
+    marked = spans.withColumn("_fid", first_in_doc.cast("long")).withColumn(
+        "_docs", F.sum("_fid").over(w_all)
+    )
+    keep_struct = F.when(
+        F.col("_docs") < min_docs, F.struct(F.col("span_idx"), F.col("span"))
+    )
+    agg = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum((F.col("_docs") >= min_docs).cast("long")).alias("n_boiler"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(keep_struct)), lambda s: s["span"]
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_boiler", F.lit(0)).alias("n_boiler"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

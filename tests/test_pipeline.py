@@ -706,6 +706,39 @@ def test_span_dedup_keep_first_and_reassemble(spark):
     assert out[4] == (0, 0, "")               # empty doc survives with 0 spans
 
 
+def test_boilerplate_strip_per_group_threshold(spark):
+    # 2-token spans, min_docs=2. Group g1: "a b" occurs in docs 1,2,3 ->
+    # boilerplate, stripped from EVERY copy (unlike span_dedup's keep-first).
+    # Group g2: "a b" occurs in ONE doc there -> survives (per-group
+    # threshold). Group g3: within-doc repetition alone (doc 6) does not
+    # trigger (distinct-doc count), until doc 7 repeats the span.
+    docs = spark.createDataFrame(
+        [
+            (1, "g1", "a b x y"),
+            (2, "g1", "a b c d"),
+            (3, "g1", "a b"),
+            (4, "g2", "a b q r"),
+            (5, "g2", ""),
+            (6, "g3", "e f e f"),
+            (7, "g3", "e f"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_spans"], r["n_boiler"], r["clean_text"])
+        for r in dd.boilerplate_strip(
+            docs, "doc_id", "text", "source", span_tokens=2, min_docs=2
+        ).collect()
+    }
+    assert out[1] == (2, 1, "x y")
+    assert out[2] == (2, 1, "c d")
+    assert out[3] == (1, 1, "")
+    assert out[4] == (2, 0, "a b q r")   # per-group: not boiler in g2
+    assert out[5] == (0, 0, "")
+    assert out[6] == (2, 2, "")          # both copies stripped
+    assert out[7] == (1, 1, "")
+
+
 def test_repetition_stats_hand_case(spark):
     # "a b a b a b": bigrams = [ab, ba, ab, ba, ab] -> top "a b" 3/5;
     # all 5 bigram instances have count>1 -> dup would be 5/5 for bigrams,

@@ -289,3 +289,27 @@ def test_global_scalar_threshold_is_broadcast_not_rescanned(spark, sf001_dir):
     assert "BroadcastExchange" in plan, plan
     assert plan.count("SinglePartition") == 1, plan
     assert "hashpartitioning(l_partkey" in plan, plan
+
+
+def test_boilerplate_strip_single_span_exchange(spark):
+    """boilerplate_strip's distinct-doc count is two stacked windows (lag
+    marks a doc's first copy, sum counts the marks) sharing ONE
+    (group, span) exchange — the groupBy(countDistinct)+self-join
+    formulation would shuffle the span text TWICE. Pin exactly one
+    hashpartitioning exchange keyed on (source, span) in the plan."""
+    from crawler_spark.pipeline import dedup as dd
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.format_string("s%d", F.pmod("id", F.lit(5))).alias("source"),
+        F.format_string("w%d x y z w%d", F.pmod("id", F.lit(9)), "id").alias("text"),
+    )
+    plan = _plan(dd.boilerplate_strip(docs, "doc_id", "text", "source"))
+    # formatted mode puts the partitioning keys on the Arguments: line of
+    # each Exchange node, not on the node line itself
+    span_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "hashpartitioning(" in ln and "span#" in ln and "source#" in ln
+    ]
+    assert len(span_exchanges) == 1, plan
