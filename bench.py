@@ -64,6 +64,7 @@ HEADLINE = [
     "exact_dedup",
     "near_dup_clusters",
     "span_dedup",
+    "boilerplate_strip",
     "minhash_signatures",
     "simhash",
     "shared_shingle_pairs",
@@ -217,12 +218,20 @@ def stage_inputs(spark, src_dir: str, cpus: int) -> str:
 # documented 3-5x wall-time noise episodes; BENCH_r02's uniform 1.61x
 # inflation on untouched queries was exactly this failure mode).
 CANARY = "discount_band_revenue"
-CANARY_TOLERANCE = 1.3
+# 1.5, not 1.3: the box's baseline scan speed drifts ~1.3x between DAYS
+# (r1 0.109 s, r2-episode 0.168 s, r3 0.135-0.142 s) — the flag should
+# catch episode-class inflation (r2's 1.54x), not ordinary day drift that
+# the canary record itself lets a reader normalize away.
+CANARY_TOLERANCE = 1.5
 
 
 def _canary_baseline(name: str) -> float | None:
-    """Best prior recorded time for the canary across BENCH_r*.json."""
+    """Best prior recorded time for the canary across BENCH_r*.json.
+
+    Handles both artifact shapes: parsed JSON with a "queries" dict, and
+    the wrapper shape whose payload sits in a "tail" string (BENCH_r01)."""
     import glob
+    import re
 
     best = None
     here = os.path.dirname(os.path.abspath(__file__))
@@ -231,6 +240,9 @@ def _canary_baseline(name: str) -> float | None:
             with open(p) as f:
                 d = json.load(f)
             v = (d.get("parsed") or d).get("queries", {}).get(name)
+            if v is None and isinstance(d.get("tail"), str):
+                m = re.search(rf'"{re.escape(name)}": ([0-9.]+)', d["tail"])
+                v = float(m.group(1)) if m else None
             if v and (best is None or v < best):
                 best = float(v)
         except (OSError, ValueError):
@@ -247,6 +259,20 @@ def _timed_samples(spark, fn, sf_dir, n: int) -> list[float]:
     return out
 
 
+def _quiesce(spark) -> None:
+    """Drain the debt one query leaves for the next: drop cached blocks,
+    then force a JVM GC so ContextCleaner processes the now-dead shuffle /
+    broadcast references OUTSIDE any measurement window. Without this, 70+
+    queries of shuffle files (in tmpfs = RAM) and old-gen garbage pile up
+    and a major GC lands inside some LATER query's timing — measured:
+    heavy pair-join queries ran 2-4x slower mid-suite than solo in the same
+    session config (simhash 3.25 s in-suite vs 1.04 s solo) while the
+    pure-scan canary stayed fast."""
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(0.1)
+
+
 def main() -> int:
     import __spark_entry__ as E
 
@@ -257,31 +283,43 @@ def main() -> int:
     qs = E.queries()
     timings: dict[str, float] = {}
     resampled: list[str] = []
-    for name in HEADLINE:
-        if only and name not in only:
-            continue
-        fn = qs[name]
-        df = fn(spark, sf_dir)  # build (untimed)
-        force(df)  # warm JIT/readers once
-        samples = _timed_samples(spark, fn, sf_dir, 2)  # best-of-2 baseline
-        # self-defense: a >1.5x spread between two back-to-back samples of
-        # the same warm query is a noise episode, not the engine — take up
-        # to 2 extra samples so the recorded best isn't a coin flip
-        extra = 0
-        while (
-            extra < 2
-            and min(samples) > 0.15
-            and max(samples) / min(samples) > 1.5
-        ):
-            samples += _timed_samples(spark, fn, sf_dir, 1)
-            extra += 1
-        if extra:
-            resampled.append(name)
-        timings[name] = round(min(samples), 3)
-        # queries that persist() intermediates return lazy frames, so they
-        # cannot unpersist themselves; leaked cache blocks otherwise pile
-        # up as GC pressure that contaminates LATER queries' timings
-        spark.catalog.clearCache()
+    # Two full passes over the suite, per-query min-merge: this VM's noise
+    # episodes last MINUTES — long enough to swallow a contiguous block of
+    # queries with low within-query sample spread (so the per-query resample
+    # below cannot see them: both samples are equally inflated). An episode
+    # would have to strike the SAME query in BOTH passes, minutes apart, to
+    # survive into the artifact.
+    passes = int(os.environ.get("BENCH_SUITE_PASSES", "2"))
+    for pass_i in range(passes):
+        for name in HEADLINE:
+            if only and name not in only:
+                continue
+            fn = qs[name]
+            if pass_i == 0:
+                df = fn(spark, sf_dir)  # build (untimed)
+                force(df)  # warm JIT/readers once
+            samples = _timed_samples(spark, fn, sf_dir, 2)  # best-of-2 baseline
+            # self-defense: a >1.5x spread between two back-to-back samples
+            # of the same warm query is a noise episode, not the engine —
+            # take up to 2 extra samples so the best isn't a coin flip
+            extra = 0
+            while (
+                extra < 2
+                and min(samples) > 0.15
+                and max(samples) / min(samples) > 1.5
+            ):
+                samples += _timed_samples(spark, fn, sf_dir, 1)
+                extra += 1
+            if extra and name not in resampled:
+                resampled.append(name)
+            best = round(min(samples), 3)
+            if name not in timings or best < timings[name]:
+                timings[name] = best
+            # queries that persist() intermediates return lazy frames, so
+            # they cannot unpersist themselves; leaked cache blocks (and the
+            # dead shuffle files of 70+ prior queries) otherwise pile up as
+            # GC pressure that contaminates LATER queries' timings
+            _quiesce(spark)
 
     result = {
         "metric": "headline_queries_total_wall",
@@ -298,7 +336,7 @@ def main() -> int:
         if timings[CANARY] > CANARY_TOLERANCE * baseline:
             # one retry before declaring the run noisy
             samples = _timed_samples(spark, qs[CANARY], sf_dir, 2)
-            spark.catalog.clearCache()
+            _quiesce(spark)
             timings[CANARY] = round(min(timings[CANARY], *samples), 3)
         result["canary"] = {
             "name": CANARY,
@@ -322,11 +360,24 @@ def main() -> int:
         # noise, and whole-noise episodes were observed to swallow 2 of 3
         # consecutive runs — a 4th sample meaningfully raises the odds the
         # recorded number reflects the engine, not the neighbor's workload
+        _quiesce(spark)  # don't start the kernel under the suite's GC debt
         frontier_round_kernel(spark, n_urls=max(BENCH_URLS // 10, 10_000), n_hosts=max(n_hosts // 10, 100))
         runs = [
             frontier_round_kernel(spark, n_urls=BENCH_URLS, n_hosts=n_hosts) for _ in range(4)
         ]
+        # spread defense, same spirit as the per-query resample: a >1.4x
+        # spread across the 4 runs means an episode covered part of the
+        # set — take up to 2 more runs so best-of isn't episode-hostage
+        extra = 0
+        while extra < 2 and (
+            max(r["round_wall_sec"] for r in runs)
+            / min(r["round_wall_sec"] for r in runs)
+            > 1.4
+        ):
+            runs.append(frontier_round_kernel(spark, n_urls=BENCH_URLS, n_hosts=n_hosts))
+            extra += 1
         kernel = min(runs, key=lambda r: r["round_wall_sec"])
+        kernel = dict(kernel, runs_wall_sec=[r["round_wall_sec"] for r in runs])
         timings["frontier_round"] = kernel["round_wall_sec"]
         result["frontier_round"] = kernel
         result["urls_scheduled_per_sec"] = kernel["urls_scheduled_per_sec"]
