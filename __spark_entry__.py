@@ -1821,6 +1821,15 @@ def q_purchase_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iters=3, small_ranks=True).withColumnRenamed("rank", "pr")
 
 
+def q_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded inverted index over the documents table: per-term document
+    frequency + top-50 postings (highest-tf docs, ties id-ascending) as a
+    rank-ordered "id:tf" list string. Hot-term fan-in is bounded by a
+    map-side WindowGroupLimit; df_t is a partial aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    return ts.inverted_postings(docs, "doc_id", "text", k=50)
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 characteristic terms per doc, TF-IDF ranked (log-free idf
     ratio — bit-stable across engines; textstats.tfidf_top_terms)."""
@@ -2678,6 +2687,7 @@ _R3_FRONT = [
     "multimodal_frame_sample",
     "multimodal_features",
     "boilerplate_strip",
+    "inverted_postings",
     # -- r1-green fill, oldest verification first --
     "rule_regex_first",
     "rule_regex_all_distinct",
@@ -2915,6 +2925,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_strip": q_boilerplate_strip,
         "repetition_quality": q_repetition_quality,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "inverted_postings": q_inverted_postings,
         "purchase_graph_pagerank": q_purchase_graph_pagerank,
         "decontaminate": q_decontaminate,
         "simhash": q_simhash,
@@ -3376,6 +3387,26 @@ SELECT d.doc_id, coalesce(a.n_spans, 0) AS n_spans,
        coalesce(a.n_boiler, 0) AS n_boiler,
        coalesce(a.clean_text, '') AS clean_text
 FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def _sql_inverted_postings(k: int = 50) -> str:
+    """SQL twin of ``textstats.inverted_postings`` — same tokenizer as the
+    other document oracles, same (tf DESC, doc_id ASC) rank, same "id:tf"
+    rank-ordered list encoding."""
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
+ranked AS (
+  SELECT term, doc_id, tf,
+         row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rnk
+  FROM tf),
+dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term)
+SELECT r.term, d.df_t,
+       string_agg(r.doc_id || ':' || r.tf, ',' ORDER BY r.rnk) AS postings
+FROM ranked r JOIN dft d USING (term)
+WHERE r.rnk <= {k}
+GROUP BY r.term, d.df_t
 """
 
 
@@ -4049,6 +4080,7 @@ FROM g GROUP BY user_id""",
         "near_dup_clusters": _sql_near_dup_clusters(),
         "span_dedup": _sql_span_dedup(),
         "boilerplate_strip": _sql_boilerplate_strip(),
+        "inverted_postings": _sql_inverted_postings(),
         "repetition_quality": _sql_repetition_quality(),
         "tfidf_top_terms": _sql_tfidf_top_terms(),
         "purchase_graph_pagerank": _sql_pagerank(),

@@ -74,6 +74,7 @@ HEADLINE = [
     "text_quality",
     "repetition_quality",
     "tfidf_top_terms",
+    "inverted_postings",
     "purchase_graph_pagerank",
     "decontaminate",
     "quality_by_source",

@@ -320,3 +320,57 @@ def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 5):
         .filter(F.col("rnk") <= k)
         .select(F.col(id_col), "term", "tf", "df_t", "score", "rnk")
     )
+
+
+def inverted_postings(df, id_col: str, text_col: str, k: int = 50):
+    """Bounded inverted index: for every term, its document frequency and
+    its top-``k`` postings (highest-tf documents, ties doc-id ascending)
+    as a compact ``"id:tf"`` rank-ordered list string.
+
+    Output: ``(term, df_t, postings)`` — one row per distinct term.
+
+    Shape: explode tokens → (doc, term) tf counts (one shuffle with
+    map-side partial agg) → two term-keyed consumers with DIFFERENT scale
+    hazards, handled separately:
+
+    * ``df_t`` must see every (term, doc) pair, so it is a plain partial
+      aggregate — the hot-term (stopword) skew collapses map-side and the
+      term exchange carries one row per (partition, term).
+    * the posting list must NOT see every pair (a 100-TB stopword's raw
+      postings are the corpus), so it goes through ``row_number`` over the
+      term window + ``rnk <= k`` filter, which Spark plans as a map-side
+      WindowGroupLimit: each input partition forwards at most k rows per
+      term to the exchange, bounding the hot term at k·partitions in
+      flight and k after the final rank.
+
+    The vocab-sized ``df_t`` table then broadcasts back onto the (already
+    k-bounded) posting rows — the same broadcast-df pattern as
+    :func:`tfidf_top_terms`; no fact-sized join shuffle anywhere.
+    """
+    from pyspark.sql import Window
+
+    from crawler_spark.pipeline.dedup import spread
+
+    toks = spread(df).select(
+        F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.persist()  # scanned twice: df_t build + ranked postings
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    w = Window.partitionBy("term").orderBy(F.col("tf").desc(), F.col(id_col).asc())
+    ranked = (
+        tf.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+    postings = ranked.groupBy("term").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rnk", F.col(id_col).alias("d"), "tf"))
+                ),
+                lambda s: F.concat_ws(":", s["d"], s["tf"]),
+            ),
+        ).alias("postings")
+    )
+    return postings.join(F.broadcast(dft), "term").select("term", "df_t", "postings")

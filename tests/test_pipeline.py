@@ -846,3 +846,27 @@ def test_lsh_bucket_pairs_subset_of_exact(spark):
     }
     assert bucketed <= exact
     assert len(bucketed) > 0
+
+
+def test_inverted_postings_hand_case(spark):
+    # k=2: term a -> docs (1, tf2), (2, tf1); c -> (3, tf3), (2, tf1);
+    # postings rank by (tf desc, doc_id asc), encoded "id:tf" in rank order
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "c c c")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["term"]: (r["df_t"], r["postings"])
+        for r in ts.inverted_postings(docs, "doc_id", "text", k=2).collect()
+    }
+    assert out == {
+        "a": (2, "1:2,2:1"),
+        "b": (1, "1:1"),
+        "c": (2, "3:3,2:1"),
+    }
+    # k=1 truncates the posting list but df_t still counts every doc
+    out1 = {
+        r["term"]: (r["df_t"], r["postings"])
+        for r in ts.inverted_postings(docs, "doc_id", "text", k=1).collect()
+    }
+    assert out1 == {"a": (2, "1:2"), "b": (1, "1:1"), "c": (2, "3:3")}

@@ -313,3 +313,19 @@ def test_boilerplate_strip_single_span_exchange(spark):
         if "hashpartitioning(" in ln and "span#" in ln and "source#" in ln
     ]
     assert len(span_exchanges) == 1, plan
+
+
+def test_inverted_postings_group_limit_and_broadcast_df(spark):
+    """The posting-list rank must plan as a map-side WindowGroupLimit (a
+    100-TB stopword's raw postings are the corpus — each partition may
+    forward at most k rows per term), and the vocab-sized df table must
+    broadcast, not shuffle-join, onto the k-bounded posting rows."""
+    from crawler_spark.pipeline import textstats as ts
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.format_string("w%d common w%d", F.pmod("id", F.lit(7)), "id").alias("text"),
+    )
+    plan = _plan(ts.inverted_postings(docs, "doc_id", "text", k=5))
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
