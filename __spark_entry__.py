@@ -1830,6 +1830,47 @@ def q_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.inverted_postings(docs, "doc_id", "text", k=50)
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma-style PII scrubbing over a deterministically PII-injected view
+    of the documents table (the synthetic corpus carries no organic PII):
+    every 3rd doc gains an email, every 5th a dashed phone, every 7th an
+    IPv4 — redacted to |||KIND||| placeholders with per-doc match counts.
+    Map-only JVM regexp pass; no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.format_string(
+                    " reach user%d@mail-%d.example.com now",
+                    F.col("doc_id"),
+                    F.pmod(F.col("doc_id"), F.lit(97)),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.format_string(
+                    " call 555-%03d-%04d",
+                    F.pmod(F.col("doc_id"), F.lit(1000)),
+                    F.pmod(F.col("doc_id"), F.lit(10000)),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.format_string(
+                    " from 10.%d.%d.%d",
+                    F.pmod(F.col("doc_id"), F.lit(256)),
+                    F.pmod(F.col("doc_id") * 7, F.lit(256)),
+                    F.pmod(F.col("doc_id") * 13, F.lit(256)),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return ts.pii_redact(injected, "doc_id", "text")
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 characteristic terms per doc, TF-IDF ranked (log-free idf
     ratio — bit-stable across engines; textstats.tfidf_top_terms)."""
@@ -2688,6 +2729,7 @@ _R3_FRONT = [
     "multimodal_features",
     "boilerplate_strip",
     "inverted_postings",
+    "pii_redact",
     # -- r1-green fill, oldest verification first --
     "rule_regex_first",
     "rule_regex_all_distinct",
@@ -2926,6 +2968,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_quality": q_repetition_quality,
         "tfidf_top_terms": q_tfidf_top_terms,
         "inverted_postings": q_inverted_postings,
+        "pii_redact": q_pii_redact,
         "purchase_graph_pagerank": q_purchase_graph_pagerank,
         "decontaminate": q_decontaminate,
         "simhash": q_simhash,
@@ -3407,6 +3450,43 @@ SELECT r.term, d.df_t,
 FROM ranked r JOIN dft d USING (term)
 WHERE r.rnk <= {k}
 GROUP BY r.term, d.df_t
+"""
+
+
+def _sql_pii_redact() -> str:
+    """SQL twin of ``textstats.pii_redact`` over the same injected view.
+    The patterns live in the Java-regex/RE2 COMMON dialect (see
+    ``textstats.PII_PATTERNS``); DuckDB needs the explicit 'g' flag to
+    match Spark's replace-all."""
+    email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    phone = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+    ip = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    return f"""
+WITH injected AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 3 = 0
+            THEN printf(' reach user%d@mail-%d.example.com now', doc_id, doc_id % 97)
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN printf(' call 555-%03d-%04d', doc_id % 1000, doc_id % 10000)
+            ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN printf(' from 10.%d.%d.%d', doc_id % 256, (doc_id*7) % 256, (doc_id*13) % 256)
+            ELSE '' END AS text
+  FROM documents),
+s1 AS (SELECT doc_id,
+              len(regexp_extract_all(text, '{email}')) AS n_email,
+              regexp_replace(text, '{email}', '|||EMAIL_ADDRESS|||', 'g') AS t
+       FROM injected),
+s2 AS (SELECT doc_id, n_email,
+              len(regexp_extract_all(t, '{phone}')) AS n_phone,
+              regexp_replace(t, '{phone}', '|||PHONE_NUMBER|||', 'g') AS t
+       FROM s1),
+s3 AS (SELECT doc_id, n_email, n_phone,
+              len(regexp_extract_all(t, '{ip}')) AS n_ip,
+              regexp_replace(t, '{ip}', '|||IP_ADDRESS|||', 'g') AS t
+       FROM s2)
+SELECT doc_id, n_email, n_phone, n_ip, t AS clean_text FROM s3
 """
 
 
@@ -4081,6 +4161,7 @@ FROM g GROUP BY user_id""",
         "span_dedup": _sql_span_dedup(),
         "boilerplate_strip": _sql_boilerplate_strip(),
         "inverted_postings": _sql_inverted_postings(),
+        "pii_redact": _sql_pii_redact(),
         "repetition_quality": _sql_repetition_quality(),
         "tfidf_top_terms": _sql_tfidf_top_terms(),
         "purchase_graph_pagerank": _sql_pagerank(),

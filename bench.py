@@ -75,6 +75,7 @@ HEADLINE = [
     "repetition_quality",
     "tfidf_top_terms",
     "inverted_postings",
+    "pii_redact",
     "purchase_graph_pagerank",
     "decontaminate",
     "quality_by_source",

@@ -374,3 +374,36 @@ def inverted_postings(df, id_col: str, text_col: str, k: int = 50):
         ).alias("postings")
     )
     return postings.join(F.broadcast(dft), "term").select("term", "df_t", "postings")
+
+
+# PII scrubbing (the Dolma/CCNet redaction pass). Patterns are written in
+# the COMMON subset of Java regex (Spark) and RE2 (DuckDB oracle): plain
+# character classes, bounded repetition, \b, non-capturing groups — no
+# lookaround (RE2 has none), no Unicode classes (\d is ASCII in both).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "|||EMAIL_ADDRESS|||"),
+    ("phone", r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "|||PHONE_NUMBER|||"),
+    ("ip", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "|||IP_ADDRESS|||"),
+)
+
+
+def pii_redact(df, id_col: str, text_col: str):
+    """Redact emails, dashed/dotted phone numbers, and IPv4 addresses with
+    Dolma-style ``|||KIND|||`` placeholders; report per-document match
+    counts alongside the scrubbed text.
+
+    Output: ``(id, n_email, n_phone, n_ip, clean_text)``.
+
+    The three patterns apply in declaration order, each counting against
+    the text AFTER the previous redactions (placeholders contain no
+    digits or ``@``, so a replacement can never create a new match).
+    Everything is built-in ``regexp_count``/``regexp_replace`` — pure
+    whole-stage codegen, no shuffle at all: at 100 TB this is a map-only
+    pass bounded by parquet scan throughput.
+    """
+    counts = []
+    cur = F.col(text_col)
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, repl)
+    return df.select(F.col(id_col), *counts, cur.alias("clean_text"))

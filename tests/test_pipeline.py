@@ -870,3 +870,26 @@ def test_inverted_postings_hand_case(spark):
         for r in ts.inverted_postings(docs, "doc_id", "text", k=1).collect()
     }
     assert out1 == {"a": (2, "1:2"), "b": (1, "1:1"), "c": (2, "3:3")}
+
+
+def test_pii_redact_hand_case(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail bob@x-1.example.org then call 555-123-4567 from 10.0.0.1"),
+            (2, "no pii here at all"),
+            (3, "two mails a@b.io c@d.co and ip 192.168.001.255"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_email"], r["n_phone"], r["n_ip"], r["clean_text"])
+        for r in ts.pii_redact(docs, "doc_id", "text").collect()
+    }
+    assert out[1] == (
+        1, 1, 1,
+        "mail |||EMAIL_ADDRESS||| then call |||PHONE_NUMBER||| from |||IP_ADDRESS|||",
+    )
+    assert out[2] == (0, 0, 0, "no pii here at all")
+    assert out[3] == (2, 0, 1, "two mails |||EMAIL_ADDRESS||| |||EMAIL_ADDRESS||| and ip |||IP_ADDRESS|||")
+    assert out[4] == (0, 0, 0, "")
