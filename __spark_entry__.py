@@ -454,6 +454,50 @@ def q_nofollow_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("page_id", F.col("pos").cast("int").alias("pos"), "href")
 
 
+def q_noindex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-meta ``noindex`` vs ``nofollow`` as independent axes: every
+    3rd page declares noindex (excluded from the indexable corpus, links
+    still followable), every 5th nofollow (links dropped, page still
+    indexable), 15ths both. Output per page: the noindex verdict + the
+    count of frontier-eligible outlinks (the rel=nofollow anchor is always
+    dropped)."""
+    from crawler_spark.frontier.canon import (
+        followable_outlinks_expr,
+        meta_noindex_expr,
+    )
+
+    directives = F.concat_ws(
+        ",",
+        F.when(F.col("id") % 3 == 0, F.lit("noindex")),
+        F.when(F.col("id") % 5 == 0, F.lit("nofollow")),
+    )
+    df = spark.range(30).select(
+        F.col("id").alias("page_id"),
+        F.concat(
+            F.when(
+                directives != "",
+                F.concat(
+                    F.lit('<head><meta name="robots" content="'),
+                    directives,
+                    F.lit('"></head>'),
+                ),
+            ).otherwise(F.lit("<head></head>")),
+            F.format_string(
+                '<a href="/a%d">x</a><a rel="nofollow" href="/p%d">y</a>'
+                '<a href="/b%d">z</a>',
+                F.col("id"),
+                F.col("id"),
+                F.col("id"),
+            ),
+        ).alias("html"),
+    )
+    return df.select(
+        "page_id",
+        meta_noindex_expr(F.col("html")).alias("noindex"),
+        F.size(followable_outlinks_expr(F.col("html"))).alias("n_followable"),
+    )
+
+
 def q_robots_rfc_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC 9309 §2.2.2 longest-match precedence: Allow overrides a shorter
     Disallow (/private/public under Disallow /private), an equal-length
@@ -2730,6 +2774,7 @@ _R3_FRONT = [
     "boilerplate_strip",
     "inverted_postings",
     "pii_redact",
+    "noindex_filter",
     # -- r1-green fill, oldest verification first --
     "rule_regex_first",
     "rule_regex_all_distinct",
@@ -2969,6 +3014,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "inverted_postings": q_inverted_postings,
         "pii_redact": q_pii_redact,
+        "noindex_filter": q_noindex_filter,
         "purchase_graph_pagerank": q_purchase_graph_pagerank,
         "decontaminate": q_decontaminate,
         "simhash": q_simhash,
@@ -3487,6 +3533,35 @@ s3 AS (SELECT doc_id, n_email, n_phone,
               regexp_replace(t, '{ip}', '|||IP_ADDRESS|||', 'g') AS t
        FROM s2)
 SELECT doc_id, n_email, n_phone, n_ip, t AS clean_text FROM s3
+"""
+
+
+def _sql_noindex_filter() -> str:
+    """SQL twin of ``q_noindex_filter``: same synthetic pages, same Java/RE2
+    common-dialect regexes — the followable count is recomputed faithfully
+    (anchor attr spans list-filtered on the rel=nofollow pattern, zeroed
+    under page-level meta nofollow)."""
+    anchor = '(?is)<a[ \\t\\n\\r\\f\\x0B]([^>]*?href="[^"]*"[^>]*)>'
+    return f"""
+WITH pages AS (
+  SELECT r AS page_id,
+         CASE WHEN r % 3 = 0 OR r % 5 = 0
+              THEN '<head><meta name="robots" content="' ||
+                   concat_ws(',', CASE WHEN r % 3 = 0 THEN 'noindex' END,
+                                  CASE WHEN r % 5 = 0 THEN 'nofollow' END) ||
+                   '"></head>'
+              ELSE '<head></head>' END ||
+         printf('<a href="/a%d">x</a><a rel="nofollow" href="/p%d">y</a><a href="/b%d">z</a>',
+                r, r, r) AS html
+  FROM range(30) t(r))
+SELECT page_id,
+       regexp_matches(html, '(?is)<meta[^>]*name="robots"[^>]*content="[^"]*noindex') AS noindex,
+       CASE WHEN regexp_matches(html, '(?is)<meta[^>]*name="robots"[^>]*content="[^"]*nofollow')
+            THEN 0
+            ELSE len(list_filter(regexp_extract_all(html, '{anchor}', 1),
+                                 a -> NOT regexp_matches(a, '(?i)rel="[^"]*nofollow')))
+       END AS n_followable
+FROM pages
 """
 
 
@@ -4162,6 +4237,7 @@ FROM g GROUP BY user_id""",
         "boilerplate_strip": _sql_boilerplate_strip(),
         "inverted_postings": _sql_inverted_postings(),
         "pii_redact": _sql_pii_redact(),
+        "noindex_filter": _sql_noindex_filter(),
         "repetition_quality": _sql_repetition_quality(),
         "tfidf_top_terms": _sql_tfidf_top_terms(),
         "purchase_graph_pagerank": _sql_pagerank(),

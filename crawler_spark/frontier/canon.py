@@ -516,6 +516,19 @@ def followable_outlinks_expr(html_col: Column) -> Column:
     ).otherwise(F.array_compact(kept))
 
 
+_META_NOINDEX = '(?is)<meta[^>]*name="robots"[^>]*content="[^"]*noindex'
+
+
+def meta_noindex_expr(html_col: Column) -> Column:
+    """True when the page's ``<meta name="robots">`` declares ``noindex``:
+    the page must be EXCLUDED from the extracted/indexed corpus, while its
+    links remain frontier-followable unless ``nofollow`` is also declared —
+    the two directives are independent axes of the robots-meta protocol
+    (the reference indexes everything it fetches; a compliant crawler must
+    not). Pure codegen ``rlike``, no HTML parse."""
+    return html_col.rlike(_META_NOINDEX)
+
+
 # <link rel=canonical> in either attribute order; first match wins per page
 _CANON_REL_FIRST = '(?is)<link[^>]*?rel="canonical"[^>]*?href="([^"]*)"'
 _CANON_HREF_FIRST = '(?is)<link[^>]*?href="([^"]*)"[^>]*?rel="canonical"'

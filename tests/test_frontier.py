@@ -543,3 +543,34 @@ def test_sitemap_urls_expr(spark):
         (0, "https://h.example/a.xml"),
         (1, "https://cdn.example/shared.xml"),
     ]
+
+
+def test_meta_noindex_independent_of_nofollow(spark):
+    from crawler_spark.frontier.canon import (
+        followable_outlinks_expr,
+        meta_noindex_expr,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, '<head><meta name="robots" content="noindex"></head>'
+                '<a href="/a">x</a>'),
+            (2, '<head><meta name="robots" content="nofollow"></head>'
+                '<a href="/a">x</a>'),
+            (3, '<head><meta name="robots" content="noindex,nofollow"></head>'
+                '<a href="/a">x</a>'),
+            (4, '<head></head><a href="/a">x</a>'),
+        ],
+        "page_id long, html string",
+    )
+    out = {
+        r["page_id"]: (r["noindex"], r["n"])
+        for r in df.select(
+            "page_id",
+            meta_noindex_expr(F.col("html")).alias("noindex"),
+            F.size(followable_outlinks_expr(F.col("html"))).alias("n"),
+        ).collect()
+    }
+    # noindex drops the page from the corpus but NOT its links; nofollow
+    # drops the links but not the page — independent axes
+    assert out == {1: (True, 1), 2: (False, 0), 3: (True, 0), 4: (False, 1)}
