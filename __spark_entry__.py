@@ -498,6 +498,47 @@ def q_noindex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-hint recrawl scheduling: per host, rank URLs stalest-first
+    relative to their declared cadence (priority x minutes-since-lastmod /
+    changefreq-interval). 6 hosts x 5 URLs with every changefreq value,
+    missing changefreq (-> weekly default), missing priority (-> 0.5) and
+    missing lastmod (-> epoch) all exercised; 'now' is a fixed literal so
+    the ranking replays bit-identically."""
+    from crawler_spark.sources.sitemap import recrawl_priority
+
+    base = spark.range(30).select(
+        F.col("id"),
+        F.format_string("h%d.example.com", F.pmod("id", F.lit(6))).alias("host"),
+        F.date_format(
+            F.date_add(F.lit("2024-01-01").cast("date"), F.pmod(F.col("id") * 11, F.lit(300)).cast("int")),
+            "yyyy-MM-dd",
+        ).alias("lastmod"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in ("always", "hourly", "daily", "weekly", "monthly", "yearly", "never", "")]),
+            (F.pmod("id", F.lit(8)) + 1).cast("int"),
+        ).alias("changefreq"),
+        F.format_string("0.%d", F.pmod("id", F.lit(9)) + 1).alias("priority"),
+    )
+    block = F.concat(
+        F.format_string("<url><loc>https://%s/p/%d</loc>", F.col("host"), F.col("id")),
+        F.when(F.pmod("id", F.lit(11)) != 10, F.format_string("<lastmod>%s</lastmod>", F.col("lastmod"))).otherwise(F.lit("")),
+        F.when(F.col("changefreq") != "", F.format_string("<changefreq>%s</changefreq>", F.col("changefreq"))).otherwise(F.lit("")),
+        F.when(F.pmod("id", F.lit(10)) != 9, F.format_string("<priority>%s</priority>", F.col("priority"))).otherwise(F.lit("")),
+        F.lit("</url>"),
+    )
+    site = (
+        base.select("host", F.struct(F.col("id"), block.alias("b")).alias("s"))
+        .groupBy("host")
+        .agg(
+            F.concat_ws(
+                "", F.transform(F.array_sort(F.collect_list("s")), lambda s: s["b"])
+            ).alias("sitemap_xml")
+        )
+    )
+    return recrawl_priority(site, "2025-01-01 00:00:00")
+
+
 def q_robots_rfc_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC 9309 §2.2.2 longest-match precedence: Allow overrides a shorter
     Disallow (/private/public under Disallow /private), an equal-length
@@ -2775,6 +2816,7 @@ _R3_FRONT = [
     "inverted_postings",
     "pii_redact",
     "noindex_filter",
+    "recrawl_priority",
     # -- r1-green fill, oldest verification first --
     "rule_regex_first",
     "rule_regex_all_distinct",
@@ -3015,6 +3057,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_postings": q_inverted_postings,
         "pii_redact": q_pii_redact,
         "noindex_filter": q_noindex_filter,
+        "recrawl_priority": q_recrawl_priority,
         "purchase_graph_pagerank": q_purchase_graph_pagerank,
         "decontaminate": q_decontaminate,
         "simhash": q_simhash,
@@ -3562,6 +3605,40 @@ SELECT page_id,
                                  a -> NOT regexp_matches(a, '(?i)rel="[^"]*nofollow')))
        END AS n_followable
 FROM pages
+"""
+
+
+def _sql_recrawl_priority() -> str:
+    """Independent recomputation twin of ``q_recrawl_priority``: scores are
+    derived straight from the generating arithmetic (no XML round-trip),
+    so the Spark side's parse of its own sitemap output is what the
+    value-hash actually tests. Ratio score only — IEEE multiply/divide is
+    correctly rounded and engine-identical (CLAUDE.md rank-key rule)."""
+    return """
+WITH base AS (
+  SELECT r AS id,
+         printf('h%d.example.com', r % 6) AS host,
+         DATE '2024-01-01' + INTERVAL ((r*11) % 300) DAY AS lastmod,
+         (['always','hourly','daily','weekly','monthly','yearly','never',''])[(r % 8) + 1] AS changefreq,
+         (r % 9 + 1) / 10.0 AS priority
+  FROM range(30) t(r)),
+scored AS (
+  SELECT host,
+         printf('https://%s/p/%d', host, id) AS url,
+         (CASE WHEN id % 10 = 9 THEN 0.5 ELSE priority END)::DOUBLE
+         * date_diff('minute',
+                     CASE WHEN id % 11 = 10 THEN TIMESTAMP '1970-01-01'
+                          ELSE lastmod::TIMESTAMP END,
+                     TIMESTAMP '2025-01-01 00:00:00')::DOUBLE
+         / (CASE changefreq
+              WHEN 'always' THEN 1 WHEN 'hourly' THEN 60 WHEN 'daily' THEN 1440
+              WHEN 'weekly' THEN 10080 WHEN 'monthly' THEN 43200
+              WHEN 'yearly' THEN 525600 WHEN 'never' THEN 1099511627776
+              ELSE 10080 END)::DOUBLE AS staleness
+  FROM base)
+SELECT host, url, staleness,
+       CAST(row_number() OVER (PARTITION BY host ORDER BY staleness DESC, url) AS INT) AS rnk
+FROM scored
 """
 
 
@@ -4238,6 +4315,7 @@ FROM g GROUP BY user_id""",
         "inverted_postings": _sql_inverted_postings(),
         "pii_redact": _sql_pii_redact(),
         "noindex_filter": _sql_noindex_filter(),
+        "recrawl_priority": _sql_recrawl_priority(),
         "repetition_quality": _sql_repetition_quality(),
         "tfidf_top_terms": _sql_tfidf_top_terms(),
         "purchase_graph_pagerank": _sql_pagerank(),

@@ -141,3 +141,96 @@ def expand_sitemap_index(
         F.col("index_seq").cast("int").alias("index_seq"),
         F.col("url_seq").cast("int").alias("url_seq"),
     )
+
+
+_CHANGEFREQ_RE = r"(?s)<changefreq>\s*(.*?)\s*</changefreq>"
+_PRIORITY_RE = r"(?s)<priority>\s*(.*?)\s*</priority>"
+
+# sitemaps.org changefreq → refresh interval in minutes ('always' ~ 1 min,
+# 'never' = effectively infinite so staleness stays ~0). A missing or
+# unknown value behaves like weekly — the protocol calls the field a hint.
+CHANGEFREQ_MINUTES: tuple[tuple[str, int], ...] = (
+    ("always", 1),
+    ("hourly", 60),
+    ("daily", 1440),
+    ("weekly", 10080),
+    ("monthly", 43200),
+    ("yearly", 525600),
+    ("never", 1 << 40),
+)
+
+
+def sitemap_rich_entries_expr(xml: Column) -> Column:
+    """``array<struct<loc,lastmod,changefreq,priority>>`` in document
+    order — :func:`sitemap_entries_expr` plus the two optional scheduling
+    hints of sitemaps.org (changefreq, priority), '' → null, per-block
+    isolation so fields can never pair across neighboring <url> blocks."""
+    blocks = F.split(xml, "</url>")
+    entries = F.transform(
+        blocks,
+        lambda b: F.struct(
+            F.regexp_extract(b, _LOC_RE, 1).alias("loc"),
+            F.nullif(F.regexp_extract(b, _LASTMOD_RE, 1), F.lit("")).alias("lastmod"),
+            F.nullif(F.regexp_extract(b, _CHANGEFREQ_RE, 1), F.lit("")).alias(
+                "changefreq"
+            ),
+            F.nullif(F.regexp_extract(b, _PRIORITY_RE, 1), F.lit("")).alias(
+                "priority"
+            ),
+        ),
+    )
+    return F.filter(entries, lambda e: e["loc"] != "")
+
+
+def recrawl_priority(
+    df: DataFrame,
+    now: str,
+    host_col: str = "host",
+    xml_col: str = "sitemap_xml",
+) -> DataFrame:
+    """Recrawl scheduling from sitemap hints: per host, rank URLs by
+    priority-weighted staleness — ``priority × minutes_since_lastmod /
+    changefreq_interval_minutes`` — stalest-relative-to-its-cadence first.
+
+    ``now`` is an explicit ISO timestamp (never wall clock: rounds must be
+    reproducible and the oracle must replay bit-identically). The score is
+    a pure ratio (IEEE ×,÷ — correctly rounded, engine-identical; no ln),
+    ties broken by url ascending so rank is fully a data property.
+
+    Output: ``(host, url, staleness, rnk)``. Map-only parse + one per-host
+    window — the same politeness-window shape the scheduler already scales.
+    """
+    from pyspark.sql import Window
+
+    freq = F.col("e.changefreq")
+    interval = F.lit(float(10080))  # default: weekly
+    for name, minutes in CHANGEFREQ_MINUTES:
+        interval = F.when(freq == name, F.lit(float(minutes))).otherwise(interval)
+    mins_since = F.col("_mins").cast("double")
+    score = (
+        F.coalesce(F.col("e.priority").cast("double"), F.lit(0.5))
+        * mins_since
+        / interval
+    )
+    entries = df.select(
+        F.col(host_col).alias("host"),
+        F.explode(sitemap_rich_entries_expr(F.col(xml_col))).alias("e"),
+    ).withColumn(
+        "_mins",
+        F.timestamp_diff(
+            "MINUTE",
+            F.to_timestamp(F.coalesce(F.col("e.lastmod"), F.lit("1970-01-01"))),
+            F.to_timestamp(F.lit(now)),
+        ),
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("staleness").desc(), F.col("url").asc()
+    )
+    return (
+        entries.select(
+            "host",
+            F.col("e.loc").alias("url"),
+            score.alias("staleness"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+    )

@@ -574,3 +574,29 @@ def test_meta_noindex_independent_of_nofollow(spark):
     # noindex drops the page from the corpus but NOT its links; nofollow
     # drops the links but not the page — independent axes
     assert out == {1: (True, 1), 2: (False, 0), 3: (True, 0), 4: (False, 1)}
+
+
+def test_recrawl_priority_defaults_and_rank(spark):
+    from crawler_spark.sources.sitemap import recrawl_priority
+
+    xml = (
+        '<url><loc>https://h.ex/a</loc><lastmod>2024-12-31</lastmod>'
+        '<changefreq>daily</changefreq><priority>0.8</priority></url>'
+        # no changefreq -> weekly default; no priority -> 0.5
+        '<url><loc>https://h.ex/b</loc><lastmod>2024-12-01</lastmod></url>'
+        # no lastmod -> epoch staleness (huge), but 'never' cadence shrinks it
+        '<url><loc>https://h.ex/c</loc><changefreq>never</changefreq>'
+        '<priority>0.9</priority></url>'
+    )
+    df = spark.createDataFrame([("h.ex", xml)], "host string, sitemap_xml string")
+    rows = {
+        r["url"]: (r["staleness"], r["rnk"])
+        for r in recrawl_priority(df, "2025-01-01 00:00:00").collect()
+    }
+    # a: 0.8 * 1440 / 1440 = 0.8 ; b: 0.5 * 44640 / 10080 ≈ 2.214
+    # c: 0.9 * mins(1970..2025) / 2^40 ≈ 0.0000237 — stale-but-never ranks last
+    assert rows["https://h.ex/a"][0] == 0.8
+    assert rows["https://h.ex/b"][0] == 0.5 * 44640 / 10080
+    assert rows["https://h.ex/b"][1] == 1
+    assert rows["https://h.ex/a"][1] == 2
+    assert rows["https://h.ex/c"][1] == 3
