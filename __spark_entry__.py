@@ -1906,6 +1906,18 @@ def q_purchase_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iters=3, small_ranks=True).withColumnRenamed("rank", "pr")
 
 
+def q_rank_weighted_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank -> politeness composition: the purchase-graph ranks split a
+    global 100k fetch budget proportionally (floor of the share, min 1) —
+    link value drives per-host crawl allocation, the north-rule priority
+    queue closed end to end. Sum-of-ranks is exact DECIMAL so the shares
+    replay bit-identically in the oracle."""
+    from crawler_spark.frontier.politeness import rank_weighted_budgets
+
+    ranks = q_purchase_graph_pagerank(spark, sf_dir)
+    return rank_weighted_budgets(ranks, "node", "pr", total_budget=100_000)
+
+
 def q_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded inverted index over the documents table: per-term document
     frequency + top-50 postings (highest-tf docs, ties id-ascending) as a
@@ -2817,6 +2829,7 @@ _R3_FRONT = [
     "pii_redact",
     "noindex_filter",
     "recrawl_priority",
+    "rank_weighted_budget",
     # -- r1-green fill, oldest verification first --
     "rule_regex_first",
     "rule_regex_all_distinct",
@@ -3058,6 +3071,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "noindex_filter": q_noindex_filter,
         "recrawl_priority": q_recrawl_priority,
+        "rank_weighted_budget": q_rank_weighted_budget,
         "purchase_graph_pagerank": q_purchase_graph_pagerank,
         "decontaminate": q_decontaminate,
         "simhash": q_simhash,
@@ -3422,6 +3436,21 @@ def _sql_pagerank(iters: int = 3, damping: float = 0.85) -> str:
         )
     parts.append(f" SELECT node, pr FROM r{iters}")
     return "".join(parts)
+
+
+def _sql_rank_weighted_budget(total: int = 100_000, minb: int = 1) -> str:
+    """Composition twin: the pagerank CTE chain extended with an exact
+    DECIMAL(18,8) total and the same floor(share) allocation."""
+    pr = _sql_pagerank()
+    tail = " SELECT node, pr FROM r3"
+    assert pr.endswith(tail)
+    return (
+        pr[: -len(tail)]
+        + ", tot AS (SELECT sum(CAST(pr AS DECIMAL(18,8))) AS t FROM r3) "
+        + f"SELECT node, greatest({minb}, CAST(floor({float(total)} * "
+        + "CAST(CAST(pr AS DECIMAL(18,8)) AS DOUBLE) / CAST(t AS DOUBLE)) AS INT)) "
+        + "AS budget FROM r3 CROSS JOIN tot"
+    )
 
 
 def _sql_tfidf_top_terms(k: int = 5) -> str:
@@ -4316,6 +4345,7 @@ FROM g GROUP BY user_id""",
         "pii_redact": _sql_pii_redact(),
         "noindex_filter": _sql_noindex_filter(),
         "recrawl_priority": _sql_recrawl_priority(),
+        "rank_weighted_budget": _sql_rank_weighted_budget(),
         "repetition_quality": _sql_repetition_quality(),
         "tfidf_top_terms": _sql_tfidf_top_terms(),
         "purchase_graph_pagerank": _sql_pagerank(),

@@ -323,3 +323,38 @@ def budgets_from_crawl_delay(
     return robots_raw.select(
         F.col(host_col).alias("host"), budget.alias("max_fetches_per_round")
     )
+
+
+def rank_weighted_budgets(
+    ranks: DataFrame,
+    node_col: str,
+    rank_col: str,
+    total_budget: int,
+    min_budget: int = 1,
+) -> DataFrame:
+    """Allocate a global fetch budget across hosts proportionally to a
+    link-value rank (PageRank feeding the politeness dimension — the
+    north-rule "priority queue" closed end to end):
+    ``budget = max(min_budget, floor(total_budget · rank / Σrank))``.
+
+    Cross-engine determinism: the global Σ is taken over
+    ``DECIMAL(18,8)`` casts of the (8-d.p.-rounded) ranks — decimal
+    addition is exact, so the total is independent of partition/reduction
+    order, where a double Σ would drift ulps between engines and plans.
+    The share then returns to DOUBLE (one correctly-rounded conversion
+    per operand) and the floor is written explicitly (Spark's double→int
+    cast truncates while DuckDB's rounds — CLAUDE.md rule).
+
+    Plan shape: a scalar aggregate broadcast back over the rank frame
+    (one tiny exchange), never a SinglePartition global window.
+    """
+    dec = F.col(rank_col).cast("decimal(18,8)")
+    tot = ranks.agg(F.sum(dec).alias("_tot"))
+    share = dec.cast("double") / F.col("_tot").cast("double")
+    return ranks.crossJoin(F.broadcast(tot)).select(
+        F.col(node_col),
+        F.greatest(
+            F.lit(min_budget),
+            F.floor(F.lit(float(total_budget)) * share).cast("int"),
+        ).alias("budget"),
+    )
