@@ -1918,6 +1918,36 @@ def q_rank_weighted_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_weighted_budgets(ranks, "node", "pr", total_budget=100_000)
 
 
+def q_recrawl_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-recrawl snapshot diff (batch conditional GET): old =
+    the documents corpus, new = the same corpus with every 13th doc gone,
+    every 4th (mod 4 = 1) revised, plus 3 brand-new docs. Fingerprint
+    full-outer join classifies every key added/removed/changed/unchanged —
+    only changed+added re-enter extraction downstream."""
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.select("doc_id", ts.fingerprint_expr(F.col("text")).alias("fp"))
+    new_docs = (
+        docs.filter(F.pmod("doc_id", F.lit(13)) != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.pmod("doc_id", F.lit(4)) == 1,
+                F.concat(F.col("text"), F.lit(" revised v2")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            spark.range(3).select(
+                (F.col("id") + 1_000_000).alias("doc_id"),
+                F.format_string("brand new page %d", F.col("id")).alias("text"),
+            )
+        )
+    )
+    new = new_docs.select("doc_id", ts.fingerprint_expr(F.col("text")).alias("fp"))
+    return dd.detect_changes(old, new, "doc_id", "fp")
+
+
 def q_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded inverted index over the documents table: per-term document
     frequency + top-50 postings (highest-tf docs, ties id-ascending) as a
@@ -2830,6 +2860,7 @@ _R3_FRONT = [
     "noindex_filter",
     "recrawl_priority",
     "rank_weighted_budget",
+    "recrawl_changes",
     # -- r1-green fill, oldest verification first --
     "rule_regex_first",
     "rule_regex_all_distinct",
@@ -3072,6 +3103,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "noindex_filter": q_noindex_filter,
         "recrawl_priority": q_recrawl_priority,
         "rank_weighted_budget": q_rank_weighted_budget,
+        "recrawl_changes": q_recrawl_changes,
         "purchase_graph_pagerank": q_purchase_graph_pagerank,
         "decontaminate": q_decontaminate,
         "simhash": q_simhash,
@@ -3668,6 +3700,31 @@ scored AS (
 SELECT host, url, staleness,
        CAST(row_number() OVER (PARTITION BY host ORDER BY staleness DESC, url) AS INT) AS rnk
 FROM scored
+"""
+
+
+def _sql_recrawl_changes() -> str:
+    """SQL twin of ``q_recrawl_changes`` — same corpus perturbation, same
+    normalized-md5 fingerprint (``_FP``), same full-outer classification."""
+    return f"""
+WITH old AS (SELECT doc_id, {_FP} AS fp FROM documents),
+newdocs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 1 THEN text || ' revised v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT r + 1000000 AS doc_id, printf('brand new page %d', r) AS text
+  FROM range(3) t(r)),
+new AS (SELECT doc_id, {_FP} AS fp FROM newdocs),
+j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, o.fp AS old_fp, n.fp AS new_fp
+      FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+SELECT doc_id,
+       CASE WHEN old_fp IS NULL THEN 'added'
+            WHEN new_fp IS NULL THEN 'removed'
+            WHEN old_fp = new_fp THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       old_fp, new_fp
+FROM j
 """
 
 
@@ -4346,6 +4403,7 @@ FROM g GROUP BY user_id""",
         "noindex_filter": _sql_noindex_filter(),
         "recrawl_priority": _sql_recrawl_priority(),
         "rank_weighted_budget": _sql_rank_weighted_budget(),
+        "recrawl_changes": _sql_recrawl_changes(),
         "repetition_quality": _sql_repetition_quality(),
         "tfidf_top_terms": _sql_tfidf_top_terms(),
         "purchase_graph_pagerank": _sql_pagerank(),

@@ -76,6 +76,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "inverted_postings",
     "pii_redact",
+    "recrawl_changes",
     "purchase_graph_pagerank",
     "decontaminate",
     "quality_by_source",

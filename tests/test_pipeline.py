@@ -893,3 +893,22 @@ def test_pii_redact_hand_case(spark):
     assert out[2] == (0, 0, 0, "no pii here at all")
     assert out[3] == (2, 0, 1, "two mails |||EMAIL_ADDRESS||| |||EMAIL_ADDRESS||| and ip |||IP_ADDRESS|||")
     assert out[4] == (0, 0, 0, "")
+
+
+def test_detect_changes_classification(spark):
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, fp string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B2"), (4, "d")], "doc_id long, fp string"
+    )
+    out = {
+        r["doc_id"]: (r["status"], r["old_fp"], r["new_fp"])
+        for r in dd.detect_changes(old, new, "doc_id", "fp").collect()
+    }
+    assert out == {
+        1: ("unchanged", "a", "a"),
+        2: ("changed", "b", "B2"),
+        3: ("removed", "c", None),
+        4: ("added", None, "d"),
+    }
