@@ -2694,6 +2694,43 @@ def q_balanced_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sqrt-temperature source mixing (the GPT-3/Dolma training-mix rule
+    with alpha = 0.5): per-source sampling rate proportional to
+    sqrt(count)/count, so over-represented sources are down-weighted
+    sub-linearly. alpha = 0.5 precisely BECAUSE IEEE sqrt is correctly
+    rounded and engine-identical where pow(x, alpha) is libm-dependent;
+    the sqrt weights are rounded to 8 d.p. and summed as exact DECIMAL so
+    the normalizer is reduction-order-independent (the pagerank
+    determinism contract). Selection = portable md5h60(doc_id)/2^60
+    threshold — a pure function of the key, reproducible across engines,
+    runs and partitionings, unlike df.sample."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    weights = counts.select(
+        "source",
+        "c",
+        F.round(F.sqrt(F.col("c").cast("double")), 8).cast("decimal(18,8)").alias("w"),
+    )
+    tot = weights.agg(F.sum("w").alias("tw"))
+    rates = weights.crossJoin(F.broadcast(tot)).select(
+        "source",
+        (
+            (F.lit(200.0) * F.col("w").cast("double"))
+            / (F.col("tw").cast("double") * F.col("c").cast("double"))
+        ).alias("samp_rate"),
+    )
+    u = dd.md5h60(F.col("doc_id").cast("string")).cast("double") / F.lit(
+        float(1 << 60)
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .withColumn("_u", u)
+        .filter(F.col("_u") < F.col("samp_rate"))
+        .select("doc_id", "source", "samp_rate")
+    )
+
+
 def q_events_in_promo_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (point-in-interval) join via hourly bucketing: intervals are
     exploded to the hour buckets they overlap, events join on their own
@@ -2861,6 +2898,7 @@ _R3_FRONT = [
     "recrawl_priority",
     "rank_weighted_budget",
     "recrawl_changes",
+    "temperature_mix_sample",
     # -- r1-green fill, oldest verification first --
     "rule_regex_first",
     "rule_regex_all_distinct",
@@ -3104,6 +3142,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_priority": q_recrawl_priority,
         "rank_weighted_budget": q_rank_weighted_budget,
         "recrawl_changes": q_recrawl_changes,
+        "temperature_mix_sample": q_temperature_mix_sample,
         "purchase_graph_pagerank": q_purchase_graph_pagerank,
         "decontaminate": q_decontaminate,
         "simhash": q_simhash,
@@ -3725,6 +3764,26 @@ SELECT doc_id,
             ELSE 'changed' END AS status,
        old_fp, new_fp
 FROM j
+"""
+
+
+def _sql_temperature_mix_sample() -> str:
+    """SQL twin of ``q_temperature_mix_sample`` — identical sqrt weights
+    (round 8 d.p., exact DECIMAL sum), identical double-op order for the
+    rate, identical md5h60 threshold."""
+    h = _H60.format(x="CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH c AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+w AS (SELECT source, c,
+             CAST(round(sqrt(c::DOUBLE), 8) AS DECIMAL(18,8)) AS w FROM c),
+tot AS (SELECT sum(w) AS tw FROM w),
+rates AS (SELECT source,
+                 (200.0 * CAST(w AS DOUBLE)) / (CAST(tw AS DOUBLE) * c::DOUBLE)
+                   AS samp_rate
+          FROM w CROSS JOIN tot)
+SELECT d.doc_id, d.source, r.samp_rate
+FROM documents d JOIN rates r USING (source)
+WHERE {h}::DOUBLE / 1152921504606846976.0 < r.samp_rate
 """
 
 
@@ -4404,6 +4463,7 @@ FROM g GROUP BY user_id""",
         "recrawl_priority": _sql_recrawl_priority(),
         "rank_weighted_budget": _sql_rank_weighted_budget(),
         "recrawl_changes": _sql_recrawl_changes(),
+        "temperature_mix_sample": _sql_temperature_mix_sample(),
         "repetition_quality": _sql_repetition_quality(),
         "tfidf_top_terms": _sql_tfidf_top_terms(),
         "purchase_graph_pagerank": _sql_pagerank(),

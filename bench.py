@@ -90,6 +90,7 @@ HEADLINE = [
     "events_in_promo_windows",
     "stratified_sample_docs",
     "balanced_sample_per_source",
+    "temperature_mix_sample",
     "customers_without_orders",
     "returned_orders_by_priority",
     "small_qty_part_revenue",
