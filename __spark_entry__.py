@@ -2588,26 +2588,41 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode (r3): per-channel integer pixel sums + decoded
-    dimensions over 24-bit BMPs via the from-scratch pure-NumPy codec
-    (pipeline/multimodal.py::bmp_decode — header parse, 4-byte row
-    padding, bottom-up order, BGR swap). Integer sums are value-hashable
-    cross-engine; the oracle recomputes them from the pixel function."""
-    from crawler_spark.pipeline.multimodal import image_stats, make_bmp_media
+    """REAL image decode (r3 BMP, r4 PNG): per-channel integer pixel sums
+    + decoded dimensions over a mixed corpus of 24-bit BMPs AND 8-bit RGB
+    PNGs via the from-scratch codecs (pipeline/multimodal.py::bmp_decode —
+    header parse, 4-byte row padding, bottom-up order, BGR swap;
+    ::png_decode — stdlib-zlib chunk walk + CRC, multi-IDAT inflate, all
+    five Sub/Up/Average/Paeth defilters, exercised because the fixture
+    encoder filters scanline y with type y%5). Integer sums are
+    value-hashable cross-engine; the oracle recomputes them from the
+    shared pixel function."""
+    from crawler_spark.pipeline.multimodal import (
+        image_stats,
+        make_bmp_media,
+        make_png_media,
+    )
 
-    return image_stats(make_bmp_media(spark, n=60))
+    media = make_bmp_media(spark, n=60).unionByName(make_png_media(spark, n=60))
+    return image_stats(media)
 
 
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image resize (r3): BMP decode → integer nearest-neighbor
-    resize (src = (dst·src_dim)//target, replayable in SQL) → fingerprint
-    of the resized RGB buffer, as a map-only mapInPandas stage. Output
+    """REAL image resize (r3 BMP, r4 PNG): magic-byte decode dispatch →
+    integer nearest-neighbor resize (src = (dst·src_dim)//target,
+    replayable in SQL) → fingerprint of the resized RGB buffer, as a
+    map-only mapInPandas stage over a mixed BMP+PNG corpus. Output
     carries fingerprints/sizes, never pixels — no shuffle moves image
     bytes. The DuckDB twin rebuilds each resized buffer from the pixel
     function and hashes it (hex-then-md5, the portable-hash rule)."""
-    from crawler_spark.pipeline.multimodal import make_bmp_media, resize_images
+    from crawler_spark.pipeline.multimodal import (
+        make_bmp_media,
+        make_png_media,
+        resize_images,
+    )
 
-    return resize_images(make_bmp_media(spark, n=60), width=8, height=8, allow_stub=False)
+    media = make_bmp_media(spark, n=60).unionByName(make_png_media(spark, n=60))
+    return resize_images(media, width=8, height=8, allow_stub=False)
 
 
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4857,14 +4872,20 @@ FROM k GROUP BY source""",
             "AS n_subword_tokens FROM documents"
         ),
         "quality_by_source": _sql_quality_by_source(),
-        # -- multimodal (r3): real from-scratch BMP / Y4M codecs --
+        # -- multimodal (r3/r4): real from-scratch BMP / PNG / Y4M codecs --
+        # PNG rows (media_id 100..159) share the BMP pixel function, so one
+        # SQL formula replays both; that the Spark side actually inflated +
+        # defiltered the PNGs is pinned by the unit tests (a wrong decode
+        # changes every sum/fingerprint here).
         # Fixture pixels are pure integer functions of (media_id, x, y), so
         # the oracle regenerates decoded/resized buffers in SQL. Fingerprint
         # = md5 of the lowercase-hex serialization (DuckDB md5 is
         # VARCHAR-only — the portable-hash rule).
         "multimodal_features": """
 WITH m AS (SELECT i AS media_id, 16 + i % 9 AS W, 12 + i % 7 AS H
-           FROM range(0, 60) t(i)),
+           FROM range(0, 60) t(i)
+           UNION ALL
+           SELECT 100 + i, 16 + i % 9, 12 + i % 7 FROM range(0, 60) t(i)),
 px AS (
   SELECT media_id, W, H,
          (x*7 + y*13 + media_id) % 256 AS r,
@@ -4879,7 +4900,9 @@ SELECT media_id, W::BIGINT AS width, H::BIGINT AS height,
 FROM px GROUP BY media_id, W, H""",
         "multimodal_resize": """
 WITH m AS (SELECT i AS media_id, 16 + i % 9 AS W, 12 + i % 7 AS H
-           FROM range(0, 60) t(i)),
+           FROM range(0, 60) t(i)
+           UNION ALL
+           SELECT 100 + i, 16 + i % 9, 12 + i % 7 FROM range(0, 60) t(i)),
 px AS (
   SELECT media_id, y, x, (x * W) // 8 AS sx, (y * H) // 8 AS sy
   FROM m, range(0, 8) ty(y), range(0, 8) tx(x))

@@ -8,14 +8,17 @@ per row; batch size is governed by ``spark.sql.execution.arrow.
 maxRecordsPerBatch`` and should be lowered for large blobs).
 
 Codecs: the compressed-format libraries (PIL/ffmpeg/librosa) are NOT in
-this container, so two REAL uncompressed codecs are implemented from
-scratch in pure NumPy — 24-bit BI_RGB **BMP** (:func:`bmp_decode` /
-:func:`bmp_encode`, bottom-up and top-down row order, 4-byte row padding)
-and **Y4M** / YUV4MPEG2 (:func:`y4m_frames`, C444/C420 plane sizing).
-:func:`resize_images`, :func:`sample_frames`, and :func:`image_stats`
-operate on real pixels for those formats; compressed formats (PNG/JPEG/MP4)
-still raise ``NotImplementedError`` unless ``allow_stub`` routes them to
-the deterministic md5 fakes, which remain for plumbing tests.
+this container, so three REAL codecs are implemented from scratch —
+24-bit BI_RGB **BMP** (:func:`bmp_decode` / :func:`bmp_encode`, bottom-up
+and top-down row order, 4-byte row padding), 8-bit **PNG**
+(:func:`png_decode` / :func:`png_encode` on stdlib ``zlib``: chunk walk +
+CRC, multi-IDAT inflate, all five Sub/Up/Average/Paeth defilters;
+grey/RGB/RGBA), and **Y4M** / YUV4MPEG2 (:func:`y4m_frames`, C444/C420
+plane sizing). :func:`resize_images`, :func:`sample_frames`, and
+:func:`image_stats` operate on real pixels for those formats via the
+:func:`decode_pixels` magic-byte dispatcher; JPEG/MP4 still raise
+``NotImplementedError`` unless ``allow_stub`` routes them to the
+deterministic md5 fakes, which remain for plumbing tests.
 
 Scale notes: media blobs dominate row size → (a) never shuffle the blob:
 extract features first, drop the binary, shuffle the narrow result;
@@ -28,6 +31,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -180,13 +184,188 @@ def y4m_frames(data: bytes) -> list[bytes]:
     return frames
 
 
+# ---------------------------------------------------------------------------
+# from-scratch PNG codec (stdlib zlib only — IHDR/IDAT parse, inflate,
+# Sub/Up/Average/Paeth defilter; no PIL, no pip)
+# ---------------------------------------------------------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# color type → samples per pixel (bit depth 8 only)
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _png_chunk(typ: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + typ
+        + payload
+        + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor (PNG spec §9, filter type 4), vectorized. a=left,
+    b=above, c=upper-left, all int32; ties break a, then b (spec order)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def png_encode(pixels: np.ndarray, idat_chunk_size: int = 8192) -> bytes:
+    """Encode an H×W×{1,3,4} uint8 array as an 8-bit PNG (greyscale / RGB /
+    RGBA). Each scanline is filtered with type ``row % 5`` — a valid
+    stream that deterministically exercises ALL five defilter paths
+    (None/Sub/Up/Average/Paeth) in any decoder, which is the point of the
+    fixture. IDAT is split into ``idat_chunk_size`` pieces so multi-IDAT
+    reassembly is exercised too."""
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, ch = pixels.shape
+    color_type = {1: 0, 3: 2, 4: 6}[ch]
+    raw = pixels.astype(np.int32)
+    flat = raw.reshape(h, w * ch)
+    left = np.zeros_like(raw)
+    left[:, 1:] = raw[:, :-1]  # pixel to the left (0 at x=0), per spec bpp offset
+    left = left.reshape(h, w * ch)
+    up = np.zeros_like(flat)
+    up[1:] = flat[:-1]
+    ul = np.zeros_like(raw)
+    ul[1:, 1:] = raw[:-1, :-1]
+    ul = ul.reshape(h, w * ch)
+    out = bytearray()
+    for y in range(h):
+        f = y % 5
+        if f == 0:
+            filt = flat[y]
+        elif f == 1:
+            filt = flat[y] - left[y]
+        elif f == 2:
+            filt = flat[y] - up[y]
+        elif f == 3:
+            filt = flat[y] - (left[y] + up[y]) // 2
+        else:
+            filt = flat[y] - _paeth(left[y], up[y], ul[y])
+        out.append(f)
+        out += (filt % 256).astype(np.uint8).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    comp = zlib.compress(bytes(out), 6)
+    idats = b"".join(
+        _png_chunk(b"IDAT", comp[i : i + idat_chunk_size])
+        for i in range(0, max(len(comp), 1), idat_chunk_size)
+    )
+    return _PNG_MAGIC + _png_chunk(b"IHDR", ihdr) + idats + _png_chunk(b"IEND", b"")
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """Decode an 8-bit greyscale/RGB/RGBA PNG to an H×W×C uint8 array —
+    from scratch on stdlib ``zlib``: chunk walk with CRC verification,
+    multi-IDAT reassembly, inflate, and per-scanline defiltering for all
+    five filter types. Interlaced (Adam7), paletted, and 16-bit images are
+    rejected (the fixture generator never emits them; real CC-scale data
+    routing is by magic bytes in :func:`decode_pixels`).
+
+    Defilter vectorization: None/Up are whole-row NumPy; Sub is a
+    per-channel cumulative sum (recon[i] = filt[i] + recon[i-bpp] ⇒ cumsum
+    mod 256 per residue class); Average/Paeth depend on the just-
+    reconstructed left pixel, so they walk pixels within the row with
+    NumPy ops per bpp-slice — O(W) Python steps per such row, fine for
+    thumbnails; large-image hot paths should pre-convert to BMP/raw."""
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    w = h = bit_depth = color_type = interlace = None
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        typ = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if zlib.crc32(typ + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            w, h, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+        elif typ == b"IDAT":
+            idat += payload
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (bit_depth={bit_depth}, color_type={color_type}, "
+            f"interlace={interlace}); only 8-bit grey/RGB/RGBA non-interlaced"
+        )
+    ch = _PNG_CHANNELS[color_type]
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch after inflate")
+    scan = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    filters, rows = scan[:, 0], scan[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), dtype=np.int32)
+    prior = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f, row = int(filters[y]), rows[y]
+        if f == 0:
+            rec = row
+        elif f == 1:  # Sub: cumsum per residue class mod bpp
+            rec = np.cumsum(row.reshape(w, ch), axis=0).reshape(stride) % 256
+        elif f == 2:  # Up
+            rec = (row + prior) % 256
+        elif f == 3:  # Average — needs reconstructed left, walk pixels
+            rec = np.empty(stride, dtype=np.int32)
+            left = np.zeros(ch, dtype=np.int32)
+            for x in range(w):
+                s = slice(x * ch, (x + 1) * ch)
+                left = (row[s] + (left + prior[s]) // 2) % 256
+                rec[s] = left
+        elif f == 4:  # Paeth — needs reconstructed left, walk pixels
+            rec = np.empty(stride, dtype=np.int32)
+            left = np.zeros(ch, dtype=np.int32)
+            ul = np.zeros(ch, dtype=np.int32)
+            for x in range(w):
+                s = slice(x * ch, (x + 1) * ch)
+                left = (row[s] + _paeth(left, prior[s], ul)) % 256
+                rec[s] = left
+                ul = prior[s]
+        else:
+            raise ValueError(f"bad PNG filter type {f} on row {y}")
+        out[y] = prior = rec
+    return out.astype(np.uint8).reshape(h, w, ch)
+
+
+def decode_pixels(data: bytes) -> np.ndarray:
+    """Magic-byte dispatch to the from-scratch codecs: BMP (``BM``) or PNG
+    (8-byte signature) → H×W×C uint8 pixel array. The single entry point
+    the Spark-side media operators use, so adding a codec is one branch."""
+    if data[:2] == b"BM":
+        return bmp_decode(data)
+    if data[:8] == _PNG_MAGIC:
+        return png_decode(data)
+    raise ValueError("unknown image format (no BMP/PNG magic)")
+
+
+def _is_decodable_image(data: bytes) -> bool:
+    return data[:2] == b"BM" or data[:8] == _PNG_MAGIC
+
+
 def decode_image(data: bytes, allow_stub: bool = False) -> list[float]:
-    """Decode an image to a feature vector. REAL CODEC NOT AVAILABLE HERE —
-    stubbed behind ``allow_stub`` (PIL/opencv absent in this container)."""
+    """Decode an image to a feature vector. BMP/PNG take the REAL decode
+    path (:func:`decode_pixels`); the featurizer is the deterministic
+    stand-in applied to the *decoded pixel buffer*, so two encodings of
+    the same pixels featurize identically — swapping in a real model
+    changes only the featurizer. Other formats (JPEG/WebP) would need
+    PIL/opencv, absent here — stubbed behind ``allow_stub``."""
+    if _is_decodable_image(data):
+        return deterministic_fake_features(decode_pixels(data).tobytes())
     if not allow_stub:
         raise NotImplementedError(
-            "image decoding requires PIL/opencv (not in this container); "
-            "pass allow_stub=True for the deterministic fake"
+            "compressed-image decoding requires PIL/opencv (not in this "
+            "container); BMP/PNG decode for real, or pass allow_stub=True "
+            "for the deterministic fake"
         )
     return deterministic_fake_features(data)
 
@@ -208,17 +387,19 @@ def frame_sample(data: bytes, every_n: int = 10, allow_stub: bool = False) -> li
 
 
 def resize_image(data: bytes, width: int, height: int, allow_stub: bool = False) -> bytes:
-    """Resize an image to width×height. BMP input takes the REAL path —
-    :func:`bmp_decode` → :func:`resize_nearest` → :func:`bmp_encode` on
-    actual pixels. Compressed formats (PNG/JPEG) would need PIL/opencv,
-    absent here — stubbed behind ``allow_stub`` with the same
-    (bytes,w,h)→bytes contract."""
+    """Resize an image to width×height. BMP and PNG input take the REAL
+    path — :func:`decode_pixels` → :func:`resize_nearest` → re-encode in
+    the source format on actual pixels. Remaining compressed formats
+    (JPEG/WebP) would need PIL/opencv, absent here — stubbed behind
+    ``allow_stub`` with the same (bytes,w,h)→bytes contract."""
     if data[:2] == b"BM":
         return bmp_encode(resize_nearest(bmp_decode(data), width, height))
+    if data[:8] == _PNG_MAGIC:
+        return png_encode(resize_nearest(png_decode(data), width, height))
     if not allow_stub:
         raise NotImplementedError(
             "compressed-image resizing requires PIL/opencv (not in this "
-            "container); BMP input is resized for real, or pass allow_stub=True"
+            "container); BMP/PNG input is resized for real, or pass allow_stub=True"
         )
     target = max(1, (width * height * 3) // 64)
     out = bytearray()
@@ -255,13 +436,13 @@ def resize_images(
 
     def fingerprint(b) -> tuple[str, int]:
         data = bytes(b) if b is not None else b""
-        if data[:2] == b"BM":
-            # REAL path: decode → nearest-neighbor resize → fingerprint the
-            # raw RGB pixel buffer (format-independent: two encodings of
-            # the same pixels fingerprint equal, and the DuckDB oracle can
-            # rebuild the buffer from the pixel function + integer index
-            # math without a BMP writer)
-            pix = resize_nearest(bmp_decode(data), width, height)
+        if _is_decodable_image(data):
+            # REAL path (BMP or PNG): decode → nearest-neighbor resize →
+            # fingerprint the raw pixel buffer (format-independent: two
+            # encodings of the same pixels fingerprint equal, and the
+            # DuckDB oracle can rebuild the buffer from the pixel function
+            # + integer index math without an image writer)
+            pix = resize_nearest(decode_pixels(data), width, height)
             return _hex_md5(pix.tobytes()), int(pix.nbytes)
         out = resize_image(data, width, height, allow_stub=allow_stub)
         return _hex_md5(out), len(out)
@@ -295,19 +476,23 @@ STATS_SCHEMA = StructType(
 
 
 def image_stats(media: DataFrame) -> DataFrame:
-    """REAL pixel statistics over BMP images: per-channel integer sums +
-    decoded dimensions. Integer outputs make the decode hard-gateable
+    """REAL pixel statistics over BMP/PNG images: per-channel integer sums
+    + decoded dimensions. Integer outputs make the decode hard-gateable
     cross-engine (float means would drift in the value hash); producing
-    them requires actually parsing the BMP (header fields, row padding,
-    bottom-up order, BGR channel swap) — a fake can't pass. Map-only
-    mapInPandas, blob dropped in-stage, nothing wide ever shuffles."""
+    them requires actually parsing the format (BMP header/padding/
+    bottom-up/BGR swap, or PNG inflate + Sub/Up/Average/Paeth defilter) —
+    a fake can't pass. Greyscale broadcasts to r=g=b; an RGBA alpha plane
+    is ignored. Map-only mapInPandas, blob dropped in-stage, nothing wide
+    ever shuffles."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                pix = bmp_decode(bytes(content))
-                sums = pix.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                pix = decode_pixels(bytes(content))
+                if pix.shape[2] == 1:
+                    pix = np.repeat(pix, 3, axis=2)
+                sums = pix[:, :, :3].reshape(-1, 3).sum(axis=0, dtype=np.int64)
                 rows.append(
                     (mid, pix.shape[1], pix.shape[0], int(sums[0]), int(sums[1]), int(sums[2]))
                 )
@@ -413,6 +598,24 @@ def make_bmp_media(spark, n: int = 60) -> DataFrame:
         data = bmp_encode(bmp_test_pixels(i, w, h))
         rows.append(
             (i, "image", data, "image/bmp", len(data), f"https://media.example.com/bmp/{i}.bmp")
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def make_png_media(spark, n: int = 60, id_offset: int = 100) -> DataFrame:
+    """REAL-codec media fixture: n tiny 8-bit RGB PNGs (w=16+i%9, h=12+i%7)
+    with :func:`bmp_test_pixels` content keyed on media_id=id_offset+i —
+    the same integer pixel function the BMP fixture uses, so a SQL oracle
+    replays both from one formula. :func:`png_encode` filters scanline y
+    with type y%5, so decoding these exercises every defilter path.
+    Tests/benches only."""
+    rows = []
+    for i in range(n):
+        mid = id_offset + i
+        w, h = 16 + i % 9, 12 + i % 7
+        data = png_encode(bmp_test_pixels(mid, w, h))
+        rows.append(
+            (mid, "image", data, "image/png", len(data), f"https://media.example.com/png/{mid}.png")
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
