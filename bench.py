@@ -245,7 +245,12 @@ def _canary_baseline(name: str) -> float | None:
                 d = json.load(f)
             v = (d.get("parsed") or d).get("queries", {}).get(name)
             if v is None and isinstance(d.get("tail"), str):
-                m = re.search(rf'"{re.escape(name)}": ([0-9.]+)', d["tail"])
+                # anchor to the queries section — a same-named key elsewhere
+                # in the wrapper (canary block, per-run list) must not
+                # become the baseline (round-4 advice)
+                qpos = d["tail"].find('"queries"')
+                hay = d["tail"][qpos:] if qpos >= 0 else ""
+                m = re.search(rf'"{re.escape(name)}": ([0-9.]+)', hay)
                 v = float(m.group(1)) if m else None
             if v and (best is None or v < best):
                 best = float(v)

@@ -350,11 +350,14 @@ def rank_weighted_budgets(
     """
     dec = F.col(rank_col).cast("decimal(18,8)")
     tot = ranks.agg(F.sum(dec).alias("_tot"))
-    share = dec.cast("double") / F.col("_tot").cast("double")
+    # Operand ORDER matters for bit-identical replay: the SQL twin's
+    # `total * pr / tot` is left-associative, i.e. (total·pr)/tot. Build
+    # the same tree here — total*(pr/tot) can differ by an ulp, which
+    # flips floor() at an integer boundary (round-4 advice).
+    alloc = (F.lit(float(total_budget)) * dec.cast("double")) / F.col("_tot").cast(
+        "double"
+    )
     return ranks.crossJoin(F.broadcast(tot)).select(
         F.col(node_col),
-        F.greatest(
-            F.lit(min_budget),
-            F.floor(F.lit(float(total_budget)) * share).cast("int"),
-        ).alias("budget"),
+        F.greatest(F.lit(min_budget), F.floor(alloc).cast("int")).alias("budget"),
     )

@@ -322,7 +322,7 @@ def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 5):
     )
 
 
-def inverted_postings(df, id_col: str, text_col: str, k: int = 50):
+def inverted_postings(df, id_col: str, text_col: str, k: int = 50, persist_tf: bool = True):
     """Bounded inverted index: for every term, its document frequency and
     its top-``k`` postings (highest-tf documents, ties doc-id ascending)
     as a compact ``"id:tf"`` rank-ordered list string.
@@ -355,7 +355,15 @@ def inverted_postings(df, id_col: str, text_col: str, k: int = 50):
         F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("term")
     )
     tf = toks.groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf"))
-    tf = tf.persist()  # scanned twice: df_t build + ranked postings
+    if persist_tf:
+        # Scanned twice (df_t build + ranked postings). CACHE LEAK BY
+        # DESIGN (same contract as span_dedup): the block is left pinned
+        # because the returned frame is lazy — callers that invoke this
+        # repeatedly outside bench.py's quiesce should pass
+        # persist_tf=False (ReuseExchange then shares the tf shuffle and
+        # only the cheap post-shuffle final agg re-runs per consumer) or
+        # clear the cache themselves.
+        tf = tf.persist()
     dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
     w = Window.partitionBy("term").orderBy(F.col("tf").desc(), F.col(id_col).asc())
     ranked = (
