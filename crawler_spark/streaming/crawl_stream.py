@@ -47,7 +47,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, Window, functions as F
 from pyspark.sql.types import (
     IntegerType,
     LongType,
@@ -118,7 +118,9 @@ class StreamCrawlConfig:
         return os.path.join(self.work_dir, "stage")
 
 
-def _publish(df: DataFrame, stage_path: str, dest_dir: str, prefix: str) -> None:
+def _publish(
+    df: DataFrame, stage_path: str, dest_dir: str, prefix: str, skip_if_empty: bool = False
+) -> int:
     """Write ``df`` to a staging dir, then move its part-files FLAT into the
     watched directory under deterministic ``{prefix}-{i}.parquet`` names.
 
@@ -126,8 +128,21 @@ def _publish(df: DataFrame, stage_path: str, dest_dir: str, prefix: str) -> None
     feedback must land as top-level files; deterministic names make a
     replayed batch overwrite its own previous files (os.replace) instead of
     enqueueing duplicates — the idempotency contract from the module
-    docstring."""
-    df.write.mode("overwrite").parquet(stage_path)
+    docstring.
+
+    The row count rides the write job as an ``Observation`` (CollectMetrics
+    — the scheduler.py:512 pattern) and is returned; with ``skip_if_empty``
+    an empty frame is staged but never moved into the watched dir, so
+    publication is suppressed WITHOUT the separate persist+count() job the
+    pre-r4 caller paid (empty batches must not publish: each would enqueue
+    under a fresh batch id and chain empty batches forever)."""
+    obs = Observation()
+    df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite").parquet(
+        stage_path
+    )
+    n = int(obs.get["n"] or 0)
+    if skip_if_empty and n == 0:
+        return 0
     parts = sorted(
         f for f in os.listdir(stage_path) if f.endswith(".parquet") and not f.startswith(".")
     )
@@ -136,6 +151,7 @@ def _publish(df: DataFrame, stage_path: str, dest_dir: str, prefix: str) -> None
             os.path.join(stage_path, part),
             os.path.join(dest_dir, f"{prefix}-{i}.parquet"),
         )
+    return n
 
 
 def _keyed_new(cands: DataFrame) -> DataFrame:
@@ -275,19 +291,16 @@ def _round_fn(
                 "occ_a", "occ_b", "seq", "round_added",
             )
         )
-        # an EMPTY feedback file must not be published: each empty batch
-        # would publish under a fresh batch id, chaining empty batches
-        # forever; no file ⇒ the next pass sees no input and the drain
-        # loop terminates.
-        feedback = feedback.persist()
-        if feedback.count() > 0:
-            _publish(
-                feedback,
-                os.path.join(cfg.stage_dir, f"from_batch={batch_id}"),
-                cfg.frontier_in,
-                f"b{batch_id}",
-            )
-        feedback.unpersist()
+        # empty-feedback suppression + count now ride the publish write
+        # itself (Observation in _publish) — one job, no persist; no file
+        # ⇒ the next pass sees no input and the drain loop terminates.
+        _publish(
+            feedback,
+            os.path.join(cfg.stage_dir, f"from_batch={batch_id}"),
+            cfg.frontier_in,
+            f"b{batch_id}",
+            skip_if_empty=True,
+        )
         ok.unpersist()
         scheduled.unpersist()
         admitted.unpersist()
