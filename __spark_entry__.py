@@ -2559,6 +2559,128 @@ def q_stream_crawl_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res["schedule"].select("batch_id", "host", "url", "priority", "seq", "fetched")
 
 
+def _drain_stream(spark: SparkSession, batches, schema: str, op, prefix: str) -> DataFrame:
+    """Drive a streaming operator over a FINITE, deterministically-batched
+    input and return the drained result: each element of ``batches`` is
+    written as one parquet file with pinned ascending mtimes (the file
+    source orders by modification time, so micro-batch order == list order
+    under maxFilesPerTrigger=1), then the op runs availableNow into a
+    memory sink. This is how the streaming tier earns value-hashed DuckDB
+    twins: batch boundaries are data, not timing."""
+    import tempfile
+    import time
+    import uuid
+
+    base = tempfile.mkdtemp(prefix=f"entry_{prefix}_")
+    t0 = time.time()
+    for i, rows in enumerate(batches):
+        d = os.path.join(base, f"b{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (t0 + 60 * i, t0 + 60 * i))
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(base + "/*")
+    )
+    q = (
+        op(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def q_stateful_budget_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin for streaming/rollup.py::stateful_host_budget (r4): the
+    LIFETIME per-host cap via applyInPandasWithState, driven over an
+    arithmetic corpus split into 4 deterministic micro-batches (rows
+    i∈[30b, 30b+30) form batch b; host = h(i%6); admission order within a
+    batch is (priority, seq) = ((7i)%4, i)). Cap 12 over 5 rows/host/batch
+    makes the cap bind MID-batch in batch 2 — the partial-admission arm.
+    The oracle replays the fold with two window functions: a row is
+    admitted iff (rows of its host in earlier batches) + (its
+    (priority,seq)-rank within its batch) ≤ cap, which is exactly the
+    per-batch `take(remaining)` recurrence unrolled."""
+    from crawler_spark.streaming import stateful_host_budget
+
+    rows = [
+        (
+            f"h{i % 6}",
+            f"https://h{i % 6}.test/p/{i}",
+            (7 * i) % 4,
+            i,
+        )
+        for i in range(120)
+    ]
+    batches = [rows[30 * b : 30 * (b + 1)] for b in range(4)]
+    out = _drain_stream(
+        spark,
+        batches,
+        "host string, url_canon string, priority int, seq long",
+        lambda s: stateful_host_budget(s, total_cap=12),
+        "budget_stream",
+    )
+    return out.select("host", "url_canon", "priority", "seq")
+
+
+def q_url_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin for streaming/rollup.py::url_dedup_stream (r4):
+    dropDuplicatesWithinWatermark over 5 deterministic micro-batches with
+    a 1-hour horizon, exercising all three arms: duplicate-inside-horizon
+    (u0@75', u1@80' dropped), re-emit-after-state-eviction (u0@320',
+    u3@330' re-emit once the batch-2/3 advancers push the watermark past
+    their expirations), and late-drop (u8@200' < the 240' watermark).
+
+    Watermark bookkeeping replayed by the oracle (pinned by
+    tests/test_streaming.py, SPARK-40925): W_b = max event time through
+    batch b minus the 60' delay; batch b's LATE filter uses W_{b-2} (the
+    value current during the previous batch), dedup checks state as
+    evicted at the end of batch b-1 which uses W_{b-2} too — so a key
+    emitted at m is live for batch b iff m+60 > W_{b-2}. All corpus
+    minutes sit ≥5' from every boundary so >=/> cannot flip a row.
+    Output is (url_canon, minutes-since-base) — integer minutes, not
+    timestamps, so the value hash never touches engine timestamp
+    formatting."""
+    import datetime as dt
+
+    from crawler_spark.streaming import url_dedup_stream
+
+    base = dt.datetime(2025, 3, 1)
+
+    def r(u: str, m: int):
+        return (u, base + dt.timedelta(minutes=m))
+
+    batches = [
+        [r(f"u{i}", 10 * i) for i in range(6)] + [r("u6", 65), r("u7", 70)],
+        [r("u0", 75), r("u1", 80), r("u8", 85)],
+        [r("a0", 300)],
+        [r("a1", 310)],
+        [r("u0", 320), r("u3", 330), r("u8", 200)],
+    ]
+    out = _drain_stream(
+        spark,
+        batches,
+        # LTZ, not NTZ: withWatermark requires TIMESTAMP. TZ-safe because
+        # the naive corpus datetimes AND the base literal below are both
+        # interpreted in the session zone, so their minute difference is
+        # invariant (and 2025-03-01..+6h crosses no DST boundary anywhere
+        # a sandbox runs).
+        "url_canon string, warc_ts timestamp",
+        lambda s: url_dedup_stream(s, watermark="1 hour"),
+        "dedup_stream",
+    )
+    return out.select(
+        "url_canon",
+        F.expr(
+            "timestampdiff(MINUTE, TIMESTAMP '2025-03-01 00:00:00', warc_ts)"
+        ).alias("m"),
+    )
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN via LSH sign-pattern buckets. Deterministic end to
     end (seeded LCG hyperplanes, rounded-cosine ranking with full
@@ -3045,9 +3167,77 @@ _R2_FRONT = [
 ]
 
 
+# Round-4 rotation: the r3 window covered the 50 keys of CORRECTNESS_r03
+# (all green), so freshness now ranks by latest-driver-check age:
+# 2 never-checked r4 queries, then the 29 whose last check was r1 (the
+# canon.py-adjacent five the r3 verdict called out lead), then the 6
+# whose implementation changed THIS round after an r2/r3 check
+# (multimodal PNG corpora, _publish observation, tfidf N-fold,
+# rank_weighted_budget operand order, inverted_postings persist knob),
+# then r2-stale fill to 50. After this window only r2-checked-and-
+# unchanged queries remain >1 round old.
+_R4_FRONT = [
+    # -- new in round 4 (never driver-checked) --
+    "stateful_budget_stream",
+    "url_dedup_stream",
+    # -- last checked in r1 --
+    "sitemap_index_seeds",
+    "anchor_texts",
+    "nofollow_outlinks",
+    "canonical_consolidation",
+    "frontier_union",
+    "pricing_summary",
+    "top_revenue_orders",
+    "region_rollup",
+    "distinct_users",
+    "running_sum",
+    "sliding_hour_value",
+    "event_value_distribution",
+    "session_window_stats",
+    "json_typed_parse",
+    "variant_shred",
+    "events_hourly_rollup",
+    "events_type_hour_rollup",
+    "asof_last_click",
+    "local_supplier_volume",
+    "json_props_rollup",
+    "latest_event_per_user",
+    "events_type_pivot",
+    "quantity_quantiles",
+    "view_except_click",
+    "purchase_intersect_signup",
+    "events_in_promo_windows",
+    "customers_without_orders",
+    "returned_orders_by_priority",
+    "small_qty_part_revenue",
+    # -- changed in round 4 after their last check --
+    "multimodal_features",
+    "multimodal_resize",
+    "stream_crawl_rounds",
+    "rank_weighted_budget",
+    "tfidf_top_terms",
+    "inverted_postings",
+    # -- r2-stale fill --
+    "sessionize",
+    "rule_cut_all",
+    "rule_xpath_axes",
+    "rule_xpath_nodetypes",
+    "robots_sitemaps",
+    "sitemap_discovery",
+    "crawl_bsp_rounds",
+    "csv_roundtrip",
+    "jsonl_roundtrip",
+    "orc_roundtrip",
+    "warc_roundtrip",
+    "binaryfile_ingest",
+    "exact_dedup",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _queries_base()
-    ordered = {k: base[k] for k in _R3_FRONT if k in base}
+    ordered = {k: base[k] for k in _R4_FRONT if k in base}
+    ordered.update({k: base[k] for k in _R3_FRONT if k in base and k not in ordered})
     ordered.update({k: base[k] for k in _R2_FRONT if k in base and k not in ordered})
     ordered.update({k: v for k, v in base.items() if k not in ordered})
     return ordered
@@ -3186,6 +3376,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (stateful / approximate / stubbed decode)
         "crawl_bsp_rounds": q_crawl_bsp_rounds,
         "stream_crawl_rounds": q_stream_crawl_rounds,
+        "stateful_budget_stream": q_stateful_budget_stream,
+        "url_dedup_stream": q_url_dedup_stream,
         "ann_lsh_topk": q_ann_lsh_topk,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
@@ -4458,6 +4650,68 @@ FROM g GROUP BY user_id""",
         "rule_cut_all": _sql_cut_all(),
         "crawl_bsp_rounds": _sql_crawl_bsp(),
         "stream_crawl_rounds": _sql_stream_crawl(),
+        # -- streaming keyed-state / dedup twins (r4) --
+        # stateful_budget_stream: the applyInPandasWithState lifetime fold
+        # unrolled as window functions — a row is admitted iff rows of its
+        # host in earlier batches plus its (priority,seq)-rank within its
+        # batch stays within the cap (admitted_cum(b) = min(cap, Σ rows)).
+        "stateful_budget_stream": """
+WITH c AS (
+  SELECT 'h' || (i % 6) AS host,
+         'https://h' || (i % 6) || '.test/p/' || i AS url_canon,
+         CAST((7 * i) % 4 AS INT) AS priority,
+         i AS seq,
+         i // 30 AS batch
+  FROM range(0, 120) t(i)),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY host, batch ORDER BY priority, seq) AS rnk,
+         count(*) OVER (PARTITION BY host ORDER BY batch
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         count(*) OVER (PARTITION BY host, batch) AS nb
+  FROM c)
+SELECT host, url_canon, priority, seq FROM r WHERE (cum - nb) + rnk <= 12""",
+        # url_dedup_stream: dropDuplicatesWithinWatermark replayed batch by
+        # batch (SPARK-40925 bookkeeping, see q_url_dedup_stream): W_b =
+        # max(m through batch b) - 60; batch b late-filters on W_{b-2} and
+        # sees state evicted with W_{b-2}, so a prior emission at m_e blocks
+        # iff m_e + 60 > W_{b-2}.
+        "url_dedup_stream": """
+WITH c(batch, url_canon, m) AS (VALUES
+  (0,'u0',0),(0,'u1',10),(0,'u2',20),(0,'u3',30),(0,'u4',40),(0,'u5',50),
+  (0,'u6',65),(0,'u7',70),
+  (1,'u0',75),(1,'u1',80),(1,'u8',85),
+  (2,'a0',300),
+  (3,'a1',310),
+  (4,'u0',320),(4,'u3',330),(4,'u8',200)),
+w AS (SELECT b AS batch, (SELECT max(m) FROM c WHERE c.batch <= b) - 60 AS wm
+      FROM (SELECT DISTINCT batch AS b FROM c)),
+e0 AS (SELECT url_canon, m FROM c WHERE batch = 0),
+e1 AS (SELECT c.url_canon, c.m FROM c WHERE batch = 1
+       AND NOT EXISTS (SELECT 1 FROM e0 p WHERE p.url_canon = c.url_canon)),
+e2 AS (SELECT c.url_canon, c.m FROM c WHERE batch = 2
+       AND c.m > (SELECT wm FROM w WHERE batch = 0)
+       AND NOT EXISTS (
+         SELECT 1 FROM (SELECT * FROM e0 UNION ALL SELECT * FROM e1) p
+         WHERE p.url_canon = c.url_canon
+           AND p.m + 60 > (SELECT wm FROM w WHERE batch = 0))),
+e3 AS (SELECT c.url_canon, c.m FROM c WHERE batch = 3
+       AND c.m > (SELECT wm FROM w WHERE batch = 1)
+       AND NOT EXISTS (
+         SELECT 1 FROM (SELECT * FROM e0 UNION ALL SELECT * FROM e1
+                        UNION ALL SELECT * FROM e2) p
+         WHERE p.url_canon = c.url_canon
+           AND p.m + 60 > (SELECT wm FROM w WHERE batch = 1))),
+e4 AS (SELECT c.url_canon, c.m FROM c WHERE batch = 4
+       AND c.m > (SELECT wm FROM w WHERE batch = 2)
+       AND NOT EXISTS (
+         SELECT 1 FROM (SELECT * FROM e0 UNION ALL SELECT * FROM e1
+                        UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3) p
+         WHERE p.url_canon = c.url_canon
+           AND p.m + 60 > (SELECT wm FROM w WHERE batch = 2)))
+SELECT url_canon, CAST(m AS BIGINT) AS m
+FROM (SELECT * FROM e0 UNION ALL SELECT * FROM e1 UNION ALL SELECT * FROM e2
+      UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4)""",
         "dedup_keep_first": (
             f"SELECT doc_id, source, n_chars FROM documents "
             f"QUALIFY row_number() OVER (PARTITION BY {_FP} ORDER BY doc_id) = 1"
