@@ -386,7 +386,24 @@ def main() -> int:
             runs.append(frontier_round_kernel(spark, n_urls=BENCH_URLS, n_hosts=n_hosts))
             extra += 1
         kernel = min(runs, key=lambda r: r["round_wall_sec"])
-        kernel = dict(kernel, runs_wall_sec=[r["round_wall_sec"] for r in runs])
+        kernel = dict(
+            kernel,
+            runs_wall_sec=[r["round_wall_sec"] for r in runs],
+            runs_canary_sec=[r.get("canary_sec") for r in runs],
+        )
+        # canary-normalized throughput (r4): each attempt times a fixed
+        # pure-CPU probe (benchmarks.py); if the best-wall attempt's probe
+        # ran c× slower than the best probe this artifact, the box — not
+        # the engine — cost that factor, so scale throughput back up.
+        # Cross-round comparisons divide the rounds' *_canary_norm values
+        # directly (BENCH.md).
+        canaries = [c for c in kernel["runs_canary_sec"] if c]
+        if canaries and kernel.get("canary_sec"):
+            best_c = min(canaries)
+            kernel["canary_best_sec"] = best_c
+            kernel["urls_scheduled_per_sec_canary_norm"] = round(
+                kernel["urls_scheduled_per_sec"] * kernel["canary_sec"] / best_c, 1
+            )
         timings["frontier_round"] = kernel["round_wall_sec"]
         result["frontier_round"] = kernel
         result["urls_scheduled_per_sec"] = kernel["urls_scheduled_per_sec"]

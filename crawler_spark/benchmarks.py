@@ -157,6 +157,20 @@ def frontier_round_kernel(
     pages.persist(StorageLevel.DISK_ONLY)
     pages.count()
 
+    # Kernel-embedded canary (r4): a FIXED pure-CPU probe (64M string-hash
+    # xor, no I/O, no shuffle read) timed inside every attempt, so kernel
+    # numbers can be canary-normalized across rounds exactly like suite
+    # numbers — this VM's baseline speed drifts ~1.3x between days and
+    # whole-noise episodes swallow entire attempts (runs_wall_sec spreads
+    # of 3-5x with identical plans). The workload is constant: its wall
+    # time measures the box, not the engine. Valid only between equal-core
+    # runs (fixed 32 tasks ÷ available slots).
+    ct0 = time.monotonic()
+    spark.range(0, 64_000_000, 1, 32).select(
+        F.bit_xor(F.xxhash64(F.concat(F.lit("canary:"), F.col("id"))))
+    ).collect()
+    canary_sec = round(time.monotonic() - ct0, 3)
+
     t0 = time.monotonic()
     cands = raw.select(
         canon_expr(F.col("url")).alias("url_canon"),
@@ -220,4 +234,5 @@ def frontier_round_kernel(
         "round_wall_sec": round(wall, 3),
         "urls_scheduled_per_sec": round(n_scheduled / wall, 1),
         "urls_in_per_sec": round(n_urls / wall, 1),
+        "canary_sec": canary_sec,
     }

@@ -194,3 +194,94 @@ def test_resume_from_pre_frontier_size_manifest(spark, corpus, oracle_result, tm
     got = _schedule_tuples_spark(resumed)
     want = _schedule_tuples_oracle(oracle_result)
     assert got == want
+
+
+def test_checkpoint_layout_iceberg_migration_contract(spark, corpus, tmp_path_factory):
+    """The parquet-dir checkpoint IS the Iceberg migration contract (SURVEY
+    S7): pin the layout so swapping _snapshot/_write_manifest for
+    writeTo().createOrReplace()/append() + catalog snapshot ids is a pure
+    substitution (the sandbox has no Iceberg jars, so the CONTRACT is the
+    testable artifact):
+
+    * manifest.json carries exactly the resume keys — the stand-ins for
+      catalog snapshot pointers (scheduler.py:556),
+    * the seen state is an append-only DELTA LOG: one dir per round, and
+      earlier deltas are byte-identical after further rounds run from a
+      resume — writeTo(seen).append() semantics, never rewrite,
+    * the multi-path delta-log read equals the final seen set,
+    * frontier snapshots lay out rows by (bucket, url_hash%16): a slot
+      never spans part files, so the layout is re-derivable from row
+      columns alone — Iceberg's bucket()-transform property (the salt's
+      skew-kill shape itself is plan-pinned in test_plans.py).
+    """
+    import glob
+    import hashlib
+    import json
+
+    pages, seeds, robots, politeness = _spark_inputs(spark, corpus)
+    ckpt = str(tmp_path_factory.mktemp("ckpt_layout"))
+    cfg = CrawlConfig(
+        checkpoint_dir=ckpt, max_rounds=3, default_budget=16, n_buckets=8,
+        seen_compact_every=10_000,  # keep the raw delta log (no compaction)
+    )
+    result = crawl(spark, pages, seeds, robots, politeness, cfg)
+    with open(os.path.join(ckpt, "manifest.json")) as f:
+        man = json.load(f)
+    assert set(man) == {
+        "next_round", "seq_offset", "frontier_size",
+        "frontier_path", "seen_paths", "bloom_path",
+    }
+    rounds = result.rounds
+    assert rounds == 3 and man["next_round"] == rounds
+    # append-only delta log: the seed snapshot (round=-1) plus one delta
+    # per executed round, all present
+    assert man["seen_paths"] == [
+        os.path.join(ckpt, f"round={r}", "seen") for r in range(-1, rounds)
+    ]
+    assert all(os.path.isdir(p) for p in man["seen_paths"])
+    for r in range(rounds):
+        for state in ("frontier", "schedule", "metrics"):
+            assert os.path.isdir(os.path.join(ckpt, f"round={r}", state)), (r, state)
+
+    def digest(path):
+        return {
+            os.path.basename(f): hashlib.md5(open(f, "rb").read()).hexdigest()
+            for f in sorted(glob.glob(os.path.join(path, "*.parquet")))
+        }
+
+    before = {p: digest(p) for p in man["seen_paths"]}
+    assert all(before.values())  # every delta has part files
+
+    # resume and run the crawl to completion: the old deltas must be
+    # APPENDED AROUND, not rewritten (their bytes are immutable)
+    cfg_full = CrawlConfig(
+        checkpoint_dir=ckpt, max_rounds=12, default_budget=16, n_buckets=8,
+        seen_compact_every=10_000,
+    )
+    resumed = crawl(spark, pages, seeds, robots, politeness, cfg_full, resume=True)
+    assert resumed.rounds > rounds
+    for p, d in before.items():
+        assert digest(p) == d, f"delta {p} was rewritten"
+    with open(os.path.join(ckpt, "manifest.json")) as f:
+        man2 = json.load(f)
+    # the log grew monotonically and the multi-path read IS the seen set
+    assert man2["seen_paths"][: rounds + 1] == man["seen_paths"]
+    log_urls = {
+        r["url_canon"]
+        for r in spark.read.parquet(*man2["seen_paths"]).select("url_canon").collect()
+    }
+    assert log_urls == {r["url_canon"] for r in resumed.seen.select("url_canon").collect()}
+
+    # bucketed layout addressability: one (bucket, salt) slot, one file
+    fr = spark.read.parquet(man2["frontier_path"]).select(
+        F.input_file_name().alias("f"),
+        "bucket",
+        F.pmod("url_hash", F.lit(16)).alias("salt"),
+    )
+    spans = (
+        fr.groupBy("bucket", "salt")
+        .agg(F.countDistinct("f").alias("nf"))
+        .filter(F.col("nf") > 1)
+        .count()
+    )
+    assert spans == 0
