@@ -26,7 +26,7 @@ from __future__ import annotations
 import time
 
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from crawler_spark.frontier.canon import (
     canon_expr,
@@ -110,6 +110,7 @@ def frontier_round_kernel(
     use_bloom: bool = True,
     links_per_page: int = 12,
     filler_words: int = 60,
+    obs_scheduled: bool = True,
 ) -> dict:
     """One frontier round at scale; returns timings + throughput.
 
@@ -197,7 +198,19 @@ def frontier_round_kernel(
         budget,
         cap=budget,  # dim is static per crawl — precomputed, no per-round collect
     )
-    scheduled.persist()
+    # n_scheduled rides the outlinks job as an Observation (r4): the old
+    # form persisted `scheduled` and paid a separate count() job; even
+    # served from cache that is one more job in the round's flat cost c
+    # (PROFILE.md) — and with the count folded in, the persist itself is
+    # dead (scheduled has exactly one consumer) — so both go.
+    # obs_scheduled=False keeps the pre-r4 persist+count form as the A/B
+    # arm (profile_variants.py countjob).
+    sched_obs = None
+    if obs_scheduled:
+        sched_obs = Observation()  # unnamed → unique per call (kernel re-runs in-session)
+        scheduled = scheduled.observe(sched_obs, F.count(F.lit(1)).alias("n"))
+    else:
+        scheduled.persist()
     # Fetch-as-join, co-partitioned form: the corpus is stored bucketed by
     # url_canon (setup above), so the semi join plans as a shuffled-hash
     # join where ONLY the scheduled keys move — the html-bearing side joins
@@ -218,10 +231,14 @@ def frontier_round_kernel(
     )
     outlinks = flat_outlinks(fetched.select("url_canon", "html"), ["url_canon"])
     n_outlinks = outlinks.count()
-    n_scheduled = scheduled.count()  # served from cache, no recompute
+    if sched_obs is not None:
+        n_scheduled = sched_obs.get["n"] or 0  # rode the count job above
+    else:
+        n_scheduled = scheduled.count()  # served from cache, no recompute
     wall = time.monotonic() - t0
 
-    scheduled.unpersist()
+    if sched_obs is None:
+        scheduled.unpersist()
     seen.unpersist()
     pages.unpersist()
     if bloom is not None:

@@ -274,6 +274,12 @@ def run_variant(spark, variant: str, n_urls: int, n_hosts: int) -> dict:
         return _union_round(spark, n_urls, n_hosts)
     if variant == "r2probe":
         return _r2probe_round(spark, n_urls, n_hosts)
+    if variant == "countjob":
+        # pre-r4 arm: scheduled persisted + separate count() job instead of
+        # the Observation riding the outlinks job
+        return frontier_round_kernel(
+            spark, n_urls=n_urls, n_hosts=n_hosts, obs_scheduled=False
+        )
     if variant == "noaqe":
         prev = spark.conf.get("spark.sql.adaptive.enabled")
         spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -282,7 +288,7 @@ def run_variant(spark, variant: str, n_urls: int, n_hosts: int) -> dict:
         finally:
             spark.conf.set("spark.sql.adaptive.enabled", prev)
     if variant != "base":
-        raise SystemExit(f"unknown variant {variant!r} (base|union|r2probe|noaqe)")
+        raise SystemExit(f"unknown variant {variant!r} (base|union|r2probe|noaqe|countjob)")
     return frontier_round_kernel(spark, n_urls=n_urls, n_hosts=n_hosts)
 
 
