@@ -2758,6 +2758,18 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(make_y4m_media(spark, n=60), every_n=2, allow_stub=False)
 
 
+def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode (r4): integer sample statistics over 16-bit PCM
+    WAVs via the from-scratch RIFF parser (pipeline/multimodal.py::
+    wav_decode — chunk walk with word alignment, fmt parse, frame
+    deinterleave across 1- and 2-channel clips). Channel-0 sums and the
+    global peak are value-hashable cross-engine; the oracle recomputes
+    them from the (media_id, frame, channel) sample formula."""
+    from crawler_spark.pipeline.multimodal import audio_stats, make_wav_media
+
+    return audio_stats(make_wav_media(spark, n=60))
+
+
 def q_events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (§2.4 grouping family): event_type fanned out to columns per
     day. The value list is pinned so the output schema is static at plan
@@ -3180,6 +3192,7 @@ _R4_FRONT = [
     # -- new in round 4 (never driver-checked) --
     "stateful_budget_stream",
     "url_dedup_stream",
+    "multimodal_audio_stats",
     # -- last checked in r1 --
     "sitemap_index_seeds",
     "anchor_texts",
@@ -3378,6 +3391,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_crawl_rounds": q_stream_crawl_rounds,
         "stateful_budget_stream": q_stateful_budget_stream,
         "url_dedup_stream": q_url_dedup_stream,
+        "multimodal_audio_stats": q_multimodal_audio_stats,
         "ann_lsh_topk": q_ann_lsh_topk,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
@@ -5167,6 +5181,25 @@ SELECT media_id, 8::BIGINT AS width, 8::BIGINT AS height,
            (sx + sy + 3*media_id) % 256), '' ORDER BY y, x)) AS resized_md5,
        192::BIGINT AS resized_bytes
 FROM px GROUP BY media_id""",
+        # r4: 16-bit PCM WAV — sample (id, frame k, channel c) =
+        # (37·id + 11·k + 5·c) % 4096 − 2048; clip i has 400+20·(i%5)
+        # frames and 1+i%2 channels at 8000 Hz (make_wav_media).
+        "multimodal_audio_stats": """
+WITH m AS (SELECT i AS media_id, 400 + 20 * (i % 5) AS n, 1 + i % 2 AS ch
+           FROM range(0, 60) t(i)),
+s AS (
+  SELECT media_id, n, ch, k, c,
+         (media_id * 37 + k * 11 + c * 5) % 4096 - 2048 AS v
+  FROM m, range(0, 480) tk(k), range(0, 2) tc(c)
+  WHERE k < n AND c < ch)
+SELECT media_id,
+       CAST(max(n) AS BIGINT) AS n_samples,
+       CAST(max(ch) AS BIGINT) AS n_channels,
+       8000::BIGINT AS sample_rate,
+       CAST(sum(v) FILTER (c = 0) AS BIGINT) AS sum_ch0,
+       CAST(sum(abs(v)) FILTER (c = 0) AS BIGINT) AS sum_abs_ch0,
+       CAST(max(abs(v)) AS BIGINT) AS peak_abs
+FROM s GROUP BY media_id""",
         "multimodal_frame_sample": """
 WITH v AS (SELECT i AS media_id, 6 + i % 5 AS nf FROM range(0, 60) t(i)),
 s AS (SELECT media_id, j, j * 2 AS f

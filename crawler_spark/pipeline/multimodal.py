@@ -352,6 +352,130 @@ def _is_decodable_image(data: bytes) -> bool:
     return data[:2] == b"BM" or data[:8] == _PNG_MAGIC
 
 
+# ---------------------------------------------------------------------------
+# from-scratch WAV codec (RIFF/PCM, stdlib struct + NumPy only)
+# ---------------------------------------------------------------------------
+
+def wav_encode(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """Encode an (n_samples, n_channels) int16 array as a 16-bit PCM WAV
+    (RIFF header + fmt + data chunks, little-endian interleaved frames) —
+    a REAL file any audio player opens."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    if samples.dtype != np.int16:
+        raise ValueError("expected int16 samples")
+    n, ch = samples.shape
+    data = samples.astype("<i2").tobytes()  # interleaved: row-major (frame, channel)
+    byte_rate = sample_rate * ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, byte_rate, ch * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode a 16-bit PCM WAV to ((n_samples, n_channels) int16, rate) —
+    from scratch: RIFF envelope check, chunk walk (unknown chunks like
+    LIST/INFO are skipped, word-aligned per spec), fmt parse restricted to
+    uncompressed PCM. Compressed codecs (MP3/AAC/float WAV) are rejected —
+    the CC-scale route for those is the env-gated stub, same as JPEG."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (length,) = struct.unpack_from("<I", data, pos + 4)
+        payload = data[pos + 8 : pos + 8 + length]
+        if cid == b"fmt ":
+            if len(payload) < 16:
+                raise ValueError("truncated WAV fmt chunk")
+            fmt = struct.unpack_from("<HHIIHH", payload)
+        elif cid == b"data":
+            pcm = payload
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if fmt is None or pcm is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, ch, rate, _br, _ba, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"only 16-bit PCM supported (format={audio_format}, bits={bits})")
+    frames = len(pcm) // (ch * 2)
+    arr = np.frombuffer(pcm, "<i2", frames * ch).reshape(frames, ch)
+    return arr.copy(), rate
+
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("n_channels", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("sum_ch0", LongType()),
+        StructField("sum_abs_ch0", LongType()),
+        StructField("peak_abs", LongType()),
+    ]
+)
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """REAL sample statistics over PCM WAV audio: decoded frame/channel
+    counts plus integer sums over channel 0 and the global peak. Integer
+    outputs make the decode hard-gateable cross-engine (the fixture's
+    samples are a pure function of (media_id, frame, channel), so a SQL
+    oracle recomputes every value); producing them requires actually
+    walking the RIFF chunks and deinterleaving frames — a fake can't
+    pass. Map-only mapInPandas, blob dropped in-stage (the scale contract
+    shared by image_stats)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                arr, rate = wav_decode(bytes(content))
+                a = arr.astype(np.int64)
+                rows.append(
+                    (
+                        mid,
+                        arr.shape[0],
+                        arr.shape[1],
+                        rate,
+                        int(a[:, 0].sum()),
+                        int(np.abs(a[:, 0]).sum()),
+                        int(np.abs(a).max(initial=0)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_samples", "n_channels", "sample_rate",
+                    "sum_ch0", "sum_abs_ch0", "peak_abs",
+                ],
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(batches, AUDIO_STATS_SCHEMA)
+
+
+def wav_test_samples(media_id: int, n: int, ch: int = 2) -> np.ndarray:
+    """Deterministic test audio: frame k, channel c of clip ``media_id``
+    has sample ((37·id + 11·k + 5·c) % 4096) − 2048 — pure integer
+    arithmetic a SQL oracle replays exactly."""
+    k = np.arange(n).reshape(n, 1)
+    c = np.arange(ch).reshape(1, ch)
+    return ((media_id * 37 + k * 11 + c * 5) % 4096 - 2048).astype(np.int16)
+
+
+def make_wav_media(spark, n: int = 60) -> DataFrame:
+    """REAL-codec audio fixture: n tiny 16-bit PCM WAVs (400+20·(i%5)
+    frames, 1+i%2 channels, 8000 Hz) with :func:`wav_test_samples`
+    content. Tests/benches only."""
+    rows = []
+    for i in range(n):
+        data = wav_encode(wav_test_samples(i, 400 + 20 * (i % 5), 1 + i % 2), 8000)
+        rows.append(
+            (i, "audio", data, "audio/wav", len(data), f"https://media.example.com/wav/{i}.wav")
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def decode_image(data: bytes, allow_stub: bool = False) -> list[float]:
     """Decode an image to a feature vector. BMP/PNG take the REAL decode
     path (:func:`decode_pixels`); the featurizer is the deterministic
