@@ -2020,6 +2020,15 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.span_dedup(docs, "doc_id", "text", span_tokens=10)
 
 
+def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup (r4, Lee et al. 2022 family): maximal spans of
+    ≥5-token grams duplicated corpus-wide, as (doc, start, end) token
+    intervals — sliding-gram equi-join + islands merge, never all-pairs
+    (pipeline/dedup.py::substring_dup_spans)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.substring_dup_spans(docs, "doc_id", "text", k=5, min_count=2)
+
+
 def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source boilerplate removal: 5-token spans repeated in >=2
     distinct documents of the same source are templates (nav/footer text a
@@ -3193,6 +3202,7 @@ _R4_FRONT = [
     "stateful_budget_stream",
     "url_dedup_stream",
     "multimodal_audio_stats",
+    "substring_dup_spans",
     # -- last checked in r1 --
     "sitemap_index_seeds",
     "anchor_texts",
@@ -3351,6 +3361,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_est_jaccard": q_lsh_est_jaccard,
         "near_dup_clusters": q_near_dup_clusters,
         "span_dedup": q_span_dedup,
+        "substring_dup_spans": q_substring_dup_spans,
         "boilerplate_strip": q_boilerplate_strip,
         "repetition_quality": q_repetition_quality,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -4739,6 +4750,32 @@ FROM (SELECT * FROM e0 UNION ALL SELECT * FROM e1 UNION ALL SELECT * FROM e2
         "lsh_est_jaccard": _sql_lsh_est_jaccard(),
         "near_dup_clusters": _sql_near_dup_clusters(),
         "span_dedup": _sql_span_dedup(),
+        # r4: exact substring dedup — same sliding grams (0-based pos s →
+        # 1-based list slice [s+1 : s+5]), portable-hash gram ids, dup
+        # marking by HAVING count>=2, islands merge (adjacency merges:
+        # break only when pos > running max end).
+        "substring_dup_spans": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id, s AS pos,
+         ('0x' || substr(md5(array_to_string(toks[s+1:s+5], ' ')), 1, 15))::BIGINT AS gram_h
+  FROM t, unnest(range(0, greatest(len(toks) - 4, 0))) u(s)),
+d AS (SELECT gram_h FROM g GROUP BY gram_h HAVING count(*) >= 2),
+m AS (SELECT g.* FROM g WHERE gram_h IN (SELECT gram_h FROM d)),
+f AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(max(pos + 5) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS ni
+  FROM m),
+i AS (SELECT doc_id, pos,
+             sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+      FROM f)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 5 AS BIGINT) AS span_end,
+       count(*)::BIGINT AS n_grams
+FROM i GROUP BY doc_id, isl""",
         "boilerplate_strip": _sql_boilerplate_strip(),
         "inverted_postings": _sql_inverted_postings(),
         "pii_redact": _sql_pii_redact(),

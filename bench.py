@@ -64,6 +64,7 @@ HEADLINE = [
     "exact_dedup",
     "near_dup_clusters",
     "span_dedup",
+    "substring_dup_spans",
     "boilerplate_strip",
     "minhash_signatures",
     "simhash",

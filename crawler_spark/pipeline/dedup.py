@@ -526,6 +526,78 @@ def near_dup_components(
 
 
 # ---------------------------------------------------------------------------
+# exact substring dedup (Lee et al. 2022) — duplicated k-gram spans
+# ---------------------------------------------------------------------------
+
+def substring_dup_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, min_count: int = 2
+) -> DataFrame:
+    """Exact substring dedup, the Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better") family at token granularity: find
+    every k-token gram occurring ≥ ``min_count`` times corpus-wide, mark
+    each occurrence's token interval [pos, pos+k), and merge overlapping
+    or adjacent intervals per document into MAXIMAL duplicated spans —
+    the ranges a training pipeline cuts. (The paper builds a suffix array;
+    the sliding-k-gram equi-join computes the same ≥k-token duplicated
+    regions as long as every duplicated region ≥ k tokens, which is the
+    definition of the threshold.) All occurrences are marked, first
+    included — the caller chooses a keep-first policy downstream.
+
+    Output: ``(id, span_start, span_end, n_grams)`` — token offsets, end
+    exclusive, one row per maximal span.
+
+    Scale shape: grams stay JVM-side (``transform`` + ``slice`` over the
+    token array, the shingles_expr pattern, hashed to md5h60 before the
+    explode leaves the row); ONE shuffle keys grams by hash for the
+    duplicate count (map-side partial agg collapses hot grams), and the
+    mark-back is a LEFT SEMI equi-join on the same key — AQE broadcasts
+    the dup-hash set while it is small (measured plan: BroadcastHashJoin
+    LeftSemi, the gram side never re-shuffles), and past the broadcast
+    threshold it degrades to a shuffled join on a key the grams exchange
+    already uses; a 100-TB stopword gram costs its row count, never a
+    pair blowup. The span merge is the islands pattern on one per-doc
+    sort (two window frames sharing one exchange — pinned in the plan).
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
+    idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    gram_arr = F.when(
+        F.size(toks) >= k,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k))),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = (
+        spread(df)
+        .select(F.col(id_col), F.posexplode(gram_arr).alias("pos", "gram"))
+        .select(F.col(id_col), "pos", md5h60(F.col("gram")).alias("gram_h"))
+    )
+    dup = (
+        grams.groupBy("gram_h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("gram_h")
+    )
+    marked = grams.join(dup, "gram_h", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = marked.withColumn(
+        "_new_isl",
+        F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    ).withColumn("_isl", F.sum("_new_isl").over(w))
+    return (
+        flagged.groupBy(id_col, "_isl")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + k).cast("long").alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select(F.col(id_col), "span_start", "span_end", "n_grams")
+    )
+
+
+# ---------------------------------------------------------------------------
 # span-level exact dedup + document reassembly (CCNet/RefinedWeb line dedup)
 # ---------------------------------------------------------------------------
 

@@ -730,6 +730,41 @@ def test_real_png_resize_and_stats_via_spark(spark):
         assert (s["sum_r"], s["sum_g"], s["sum_b"]) == tuple(int(v) for v in sums)
 
 
+def test_substring_dup_spans_merge_and_threshold(spark):
+    """Exact substring dedup: cross-doc duplicated k-grams become spans;
+    within-doc repeats count toward the threshold; overlapping intervals
+    merge into one maximal span; ADJACENT intervals (pos == running end)
+    merge too; a gap strictly past the running end breaks the island; docs
+    with no duplicated gram emit nothing."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),       # shares "c d e" with doc 2
+            (2, "x y c d e z w"),
+            (3, "p q r p q r p q r"),     # self-repeating → one merged span
+            (4, "m n o"),                 # unique → no spans
+            (5, "s t u xx s t u"),        # dup at pos 0 and 4 → gap → 2 spans
+            (6, "g1 g1 g1 g2 g2 g2"),     # dup at pos 0 and 3 → adjacent → merge
+            (7, "g1 g1 g1"),
+            (8, "g2 g2 g2"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["span_start"], r["span_end"]): r["n_grams"]
+        for r in dd.substring_dup_spans(docs, "doc_id", "text", k=3).collect()
+    }
+    assert out == {
+        (1, 2, 5): 1,
+        (2, 2, 5): 1,
+        (3, 0, 9): 7,   # every 3-gram of the repeat appears >= 2x in-doc
+        (5, 0, 3): 1,
+        (5, 4, 7): 1,   # island break: 4 > prev end 3
+        (6, 0, 6): 2,   # adjacency (3 == prev end 3) merges
+        (7, 0, 3): 1,
+        (8, 0, 3): 1,
+    }
+
+
 def test_wav_codec_roundtrip_chunkwalk_and_stats(spark):
     """From-scratch WAV codec: encode→decode is identity for mono/stereo
     16-bit PCM; the chunk walk skips unknown (LIST) chunks with word
