@@ -2029,6 +2029,33 @@ def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.substring_dup_spans(docs, "doc_id", "text", k=5, min_count=2)
 
 
+def q_source_quality_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted recrawl budgets (r4): the LLM tier's quality score
+    feeding the crawl tier's budget allocator — per-source mean
+    quality_score (DECIMAL sum ⇒ partition-order-independent, one
+    correctly-rounded double division) flows into the same
+    floor-share allocation as rank_weighted_budgets. The 100-TB shape is
+    one map-side-combined groupBy over the narrow (source, score) frame
+    plus a scalar broadcast — no extra corpus pass beyond the score
+    itself."""
+    from crawler_spark.frontier.politeness import rank_weighted_budgets
+    from crawler_spark.pipeline.textstats import quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    qs = quality_features(F.col("text"))["quality_score"]
+    mean = (
+        docs.select(F.col("source"), qs.alias("qs"))
+        .groupBy("source")
+        .agg(
+            (
+                F.sum(F.col("qs").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("q")
+        )
+    )
+    return rank_weighted_budgets(mean, "source", "q", total_budget=10_000)
+
+
 def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source boilerplate removal: 5-token spans repeated in >=2
     distinct documents of the same source are templates (nav/footer text a
@@ -3203,6 +3230,7 @@ _R4_FRONT = [
     "url_dedup_stream",
     "multimodal_audio_stats",
     "substring_dup_spans",
+    "source_quality_budget",
     # -- last checked in r1 --
     "sitemap_index_seeds",
     "anchor_texts",
@@ -3362,6 +3390,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": q_near_dup_clusters,
         "span_dedup": q_span_dedup,
         "substring_dup_spans": q_substring_dup_spans,
+        "source_quality_budget": q_source_quality_budget,
         "boilerplate_strip": q_boilerplate_strip,
         "repetition_quality": q_repetition_quality,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -5093,6 +5122,29 @@ SELECT user_id,
        count(*) AS n_events
 FROM events GROUP BY user_id""",
         "text_quality": _sql_text_quality(),
+        # r4: quality_score → per-source DECIMAL-exact mean → the
+        # rank_weighted_budgets floor-share allocation (same left-assoc
+        # operand order as the Spark side — the r4 advice fix).
+        "source_quality_budget": f"""
+WITH t AS (SELECT source, text, {_TOKS} AS toks FROM documents),
+f AS (SELECT source, {_sql_stop_count('en')} AS s_en,
+             len(toks) AS n_tokens,
+             greatest(len(toks), 1)::DOUBLE AS safe_tokens,
+             len(list_distinct(toks)) AS n_uniq
+      FROM t),
+q AS (SELECT source,
+             round(least(n_tokens::DOUBLE / 100.0, 1.0) * 0.4
+                   + round(s_en / safe_tokens, 4) * 0.2
+                   + round(n_uniq / safe_tokens, 4) * 0.4, 4) AS qs
+      FROM f),
+m AS (SELECT source,
+             CAST(sum(CAST(qs AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS q
+      FROM q GROUP BY source),
+tot AS (SELECT sum(CAST(q AS DECIMAL(18,8))) AS t FROM m)
+SELECT source, greatest(1, CAST(floor(10000.0 *
+         CAST(CAST(q AS DECIMAL(18,8)) AS DOUBLE) / CAST(t AS DOUBLE)) AS INT))
+       AS budget
+FROM m CROSS JOIN tot""",
         "lang_id": _sql_lang_id(),
         "doc_fingerprint": _sql_doc_fingerprint(),
         "shared_shingle_pairs": _sql_shared_shingle_pairs(),

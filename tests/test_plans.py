@@ -254,6 +254,26 @@ def test_min_cost_supplier_broadcasts_dims(spark, sf001_dir):
     assert plan.count("BroadcastHashJoin") >= 2, plan
 
 
+def test_substring_dup_spans_markback_is_semi_never_pairs(spark, sf001_dir):
+    """Exact substring dedup's duplicate mark-back must be a SEMI
+    equi-join on the gram hash (broadcast while the dup set is small,
+    shuffled past the threshold) — a nested-loop fallback would be
+    grams², i.e. corpus² in duplicated regions. The islands merge must
+    also compute BOTH window frames over ONE doc_id sort (two Window
+    nodes, exactly one doc_id exchange)."""
+    from crawler_spark.pipeline import dedup as dd
+
+    docs = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    out = dd.substring_dup_spans(docs, "doc_id", "text", k=5)
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "LeftSemi" in plan, plan
+    # simple mode prints each operator once — count nodes there
+    simple = _plan(out, "simple")
+    assert simple.count("Window") == 2, simple
+    assert simple.count("hashpartitioning(doc_id") == 1, simple
+
+
 def test_semantic_dedup_pair_join_is_equi_on_cluster(spark, sf001_dir):
     """SemDeDup's within-cluster pair join must be an equi-join on cid —
     a nested-loop fallback would be corpus² regardless of clustering."""
