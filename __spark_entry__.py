@@ -2602,7 +2602,16 @@ def _drain_stream(spark: SparkSession, batches, schema: str, op, prefix: str) ->
     source orders by modification time, so micro-batch order == list order
     under maxFilesPerTrigger=1), then the op runs availableNow into a
     memory sink. This is how the streaming tier earns value-hashed DuckDB
-    twins: batch boundaries are data, not timing."""
+    twins: batch boundaries are data, not timing.
+
+    Per-invocation state is torn down before returning (r5, ADVICE r4):
+    the memory-sink rows are re-hosted into a plain local-relation
+    DataFrame so the uuid-named sink table can be dropped and the batch
+    dirs rmtree'd — repeated check_oracle/driver runs in one session no
+    longer accumulate /tmp dirs or in-memory sink tables. The sink is
+    tiny by construction (a drained finite stream), so the collect is a
+    few rows."""
+    import shutil
     import tempfile
     import time
     import uuid
@@ -2627,7 +2636,11 @@ def _drain_stream(spark: SparkSession, batches, schema: str, op, prefix: str) ->
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    sink = spark.table(name)
+    out = spark.createDataFrame(sink.collect(), sink.schema)
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(base, ignore_errors=True)
+    return out
 
 
 def q_stateful_budget_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

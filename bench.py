@@ -386,11 +386,26 @@ def main() -> int:
         ):
             runs.append(frontier_round_kernel(spark, n_urls=BENCH_URLS, n_hosts=n_hosts))
             extra += 1
-        kernel = min(runs, key=lambda r: r["round_wall_sec"])
+        # headline selection (r5): among attempts whose CPU *and* I/O probes
+        # are quiet (within 1.3x of this artifact's best probe of each
+        # kind), take the fastest wall — the min-wall attempt of a noisy
+        # probe is still box-assisted/penalized. Fall back to plain
+        # min-wall if no attempt is both-quiet (every probe inflated ⇒ the
+        # whole artifact is an episode; runs_* arrays record that).
+        def _quiet(r, key, best, tol=1.3):
+            return bool(r.get(key)) and best and r[key] <= tol * best
+        best_cpu = min((r["canary_sec"] for r in runs if r.get("canary_sec")), default=None)
+        best_io = min((r["canary_io_sec"] for r in runs if r.get("canary_io_sec")), default=None)
+        quiet_runs = [
+            r for r in runs
+            if _quiet(r, "canary_sec", best_cpu) and _quiet(r, "canary_io_sec", best_io)
+        ]
+        kernel = min(quiet_runs or runs, key=lambda r: r["round_wall_sec"])
         kernel = dict(
             kernel,
             runs_wall_sec=[r["round_wall_sec"] for r in runs],
             runs_canary_sec=[r.get("canary_sec") for r in runs],
+            runs_canary_io_sec=[r.get("canary_io_sec") for r in runs],
         )
         # canary-normalized throughput (r4): each attempt times a fixed
         # pure-CPU probe (benchmarks.py); if the best-wall attempt's probe

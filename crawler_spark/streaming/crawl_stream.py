@@ -45,6 +45,7 @@ failed fetches (/root/reference/collector.go:88-90).
 from __future__ import annotations
 
 import os
+import shutil
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Observation, SparkSession, Window, functions as F
@@ -135,13 +136,16 @@ def _publish(
     an empty frame is staged but never moved into the watched dir, so
     publication is suppressed WITHOUT the separate persist+count() job the
     pre-r4 caller paid (empty batches must not publish: each would enqueue
-    under a fresh batch id and chain empty batches forever)."""
+    under a fresh batch id and chain empty batches forever). A suppressed
+    stage is deleted on the spot (r5, ADVICE r4) so drain-terminating
+    rounds stop leaving dead from_batch=N dirs behind."""
     obs = Observation()
     df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite").parquet(
         stage_path
     )
     n = int(obs.get["n"] or 0)
     if skip_if_empty and n == 0:
+        shutil.rmtree(stage_path, ignore_errors=True)
         return 0
     parts = sorted(
         f for f in os.listdir(stage_path) if f.endswith(".parquet") and not f.startswith(".")
