@@ -2759,22 +2759,32 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode (r3 BMP, r4 PNG): per-channel integer pixel sums
-    + decoded dimensions over a mixed corpus of 24-bit BMPs AND 8-bit RGB
-    PNGs via the from-scratch codecs (pipeline/multimodal.py::bmp_decode —
-    header parse, 4-byte row padding, bottom-up order, BGR swap;
-    ::png_decode — stdlib-zlib chunk walk + CRC, multi-IDAT inflate, all
-    five Sub/Up/Average/Paeth defilters, exercised because the fixture
-    encoder filters scanline y with type y%5). Integer sums are
-    value-hashable cross-engine; the oracle recomputes them from the
-    shared pixel function."""
+    """REAL image decode (r3 BMP, r4 PNG, r5 JPEG): per-channel integer
+    pixel sums + decoded dimensions over a mixed corpus of 24-bit BMPs,
+    8-bit RGB PNGs, AND baseline grayscale JPEGs via the from-scratch
+    codecs (pipeline/multimodal.py::bmp_decode — header parse, 4-byte row
+    padding, bottom-up order, BGR swap; ::png_decode — stdlib-zlib chunk
+    walk + CRC, multi-IDAT inflate, all five Sub/Up/Average/Paeth
+    defilters, exercised because the fixture encoder filters scanline y
+    with type y%5; ::jpeg_decode — Huffman entropy decode, dequant,
+    NumPy 8×8 IDCT, DRI/RSTn on every 4th fixture). The JPEG fixtures are
+    block-constant with an all-ones quant table, so the lossy codec
+    round-trips them exactly and the oracle replays the DECODED pixels
+    from integer floor-division math. Integer sums are value-hashable
+    cross-engine; the oracle recomputes them from the shared pixel
+    functions."""
     from crawler_spark.pipeline.multimodal import (
         image_stats,
         make_bmp_media,
+        make_jpeg_media,
         make_png_media,
     )
 
-    media = make_bmp_media(spark, n=60).unionByName(make_png_media(spark, n=60))
+    media = (
+        make_bmp_media(spark, n=60)
+        .unionByName(make_png_media(spark, n=60))
+        .unionByName(make_jpeg_media(spark, n=60))
+    )
     return image_stats(media)
 
 
@@ -2785,14 +2795,21 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-only mapInPandas stage over a mixed BMP+PNG corpus. Output
     carries fingerprints/sizes, never pixels — no shuffle moves image
     bytes. The DuckDB twin rebuilds each resized buffer from the pixel
-    function and hashes it (hex-then-md5, the portable-hash rule)."""
+    function and hashes it (hex-then-md5, the portable-hash rule). r5
+    adds grayscale JPEG rows (1 byte/pixel buffers — block-constant
+    fixtures decode exactly, so the oracle replays them too)."""
     from crawler_spark.pipeline.multimodal import (
         make_bmp_media,
+        make_jpeg_media,
         make_png_media,
         resize_images,
     )
 
-    media = make_bmp_media(spark, n=60).unionByName(make_png_media(spark, n=60))
+    media = (
+        make_bmp_media(spark, n=60)
+        .unionByName(make_png_media(spark, n=60))
+        .unionByName(make_jpeg_media(spark, n=60))
+    )
     return resize_images(media, width=8, height=8, allow_stub=False)
 
 
@@ -5262,12 +5279,28 @@ px AS (
          (x*3 + y*5 + 2*media_id) % 256 AS g,
          (x + y + 3*media_id) % 256 AS b
   FROM m, range(0, 24) tx(x), range(0, 18) ty(y)
+  WHERE x < W AND y < H),
+-- r5: grayscale JPEG rows (media_id 200..259) — block-constant pixels
+-- (11·(x//8) + 23·(y//8) + 5·id) % 256 decode EXACTLY (all-ones quant),
+-- and image_stats broadcasts grey to r=g=b
+mj AS (SELECT 200 + i AS media_id, 16 + 8*(i % 3) AS W, 16 + 8*(i % 2) AS H
+       FROM range(0, 60) t(i)),
+pxj AS (
+  SELECT media_id, W, H,
+         (11*(x // 8) + 23*(y // 8) + 5*media_id) % 256 AS v
+  FROM mj, range(0, 32) tx(x), range(0, 24) ty(y)
   WHERE x < W AND y < H)
 SELECT media_id, W::BIGINT AS width, H::BIGINT AS height,
        CAST(sum(r) AS BIGINT) AS sum_r,
        CAST(sum(g) AS BIGINT) AS sum_g,
        CAST(sum(b) AS BIGINT) AS sum_b
-FROM px GROUP BY media_id, W, H""",
+FROM px GROUP BY media_id, W, H
+UNION ALL
+SELECT media_id, W::BIGINT AS width, H::BIGINT AS height,
+       CAST(sum(v) AS BIGINT) AS sum_r,
+       CAST(sum(v) AS BIGINT) AS sum_g,
+       CAST(sum(v) AS BIGINT) AS sum_b
+FROM pxj GROUP BY media_id, W, H""",
         "multimodal_resize": """
 WITH m AS (SELECT i AS media_id, 16 + i % 9 AS W, 12 + i % 7 AS H
            FROM range(0, 60) t(i)
@@ -5275,14 +5308,28 @@ WITH m AS (SELECT i AS media_id, 16 + i % 9 AS W, 12 + i % 7 AS H
            SELECT 100 + i, 16 + i % 9, 12 + i % 7 FROM range(0, 60) t(i)),
 px AS (
   SELECT media_id, y, x, (x * W) // 8 AS sx, (y * H) // 8 AS sy
-  FROM m, range(0, 8) ty(y), range(0, 8) tx(x))
+  FROM m, range(0, 8) ty(y), range(0, 8) tx(x)),
+-- r5: grayscale JPEG rows — resized buffer is 1 byte/pixel (64 bytes),
+-- source pixel value from the block-constant decoded formula
+mj AS (SELECT 200 + i AS media_id, 16 + 8*(i % 3) AS W, 16 + 8*(i % 2) AS H
+       FROM range(0, 60) t(i)),
+pxj AS (
+  SELECT media_id, y, x, (x * W) // 8 AS sx, (y * H) // 8 AS sy
+  FROM mj, range(0, 8) ty(y), range(0, 8) tx(x))
 SELECT media_id, 8::BIGINT AS width, 8::BIGINT AS height,
        md5(string_agg(printf('%02x%02x%02x',
            (sx*7 + sy*13 + media_id) % 256,
            (sx*3 + sy*5 + 2*media_id) % 256,
            (sx + sy + 3*media_id) % 256), '' ORDER BY y, x)) AS resized_md5,
        192::BIGINT AS resized_bytes
-FROM px GROUP BY media_id""",
+FROM px GROUP BY media_id
+UNION ALL
+SELECT media_id, 8::BIGINT AS width, 8::BIGINT AS height,
+       md5(string_agg(printf('%02x',
+           (11*(sx // 8) + 23*(sy // 8) + 5*media_id) % 256), ''
+           ORDER BY y, x)) AS resized_md5,
+       64::BIGINT AS resized_bytes
+FROM pxj GROUP BY media_id""",
         # r4: 16-bit PCM WAV — sample (id, frame k, channel c) =
         # (37·id + 11·k + 5·c) % 4096 − 2048; clip i has 400+20·(i%5)
         # frames and 1+i%2 channels at 8000 Hz (make_wav_media).

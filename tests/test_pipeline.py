@@ -730,6 +730,109 @@ def test_real_png_resize_and_stats_via_spark(spark):
         assert (s["sum_r"], s["sum_g"], s["sum_b"]) == tuple(int(v) for v in sums)
 
 
+def test_jpeg_codec_roundtrip_and_gates():
+    """Baseline JPEG codec (r5): block-constant grayscale fixtures with
+    the all-ones quant table round-trip EXACTLY (the oracle contract —
+    DC-only blocks survive FDCT→quantize→IDCT→round bit-for-bit), with
+    and without restart markers; arbitrary content round-trips within the
+    q=1 rounding bound; RGB 4:4:4 and 4:2:0 decode; custom quant tables
+    are read back from DQT; progressive and non-JPEG inputs are rejected
+    with explicit errors."""
+    import numpy as np
+    import pytest
+
+    from crawler_spark.pipeline.multimodal import (
+        decode_pixels,
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_test_pixels,
+    )
+
+    # oracle contract: exact roundtrip on every fixture shape × DRI on/off
+    for mid in (200, 231, 259):
+        for w, h in ((16, 16), (24, 16), (32, 24)):
+            pix = jpeg_test_pixels(mid, w, h)
+            for rst in (0, 2):
+                data = jpeg_encode(pix, quant=1, restart_interval=rst)
+                assert data[:3] == b"\xff\xd8\xff" and data[-2:] == b"\xff\xd9"
+                if rst:
+                    assert b"\xff\xdd" in data  # DRI present
+                assert np.array_equal(jpeg_decode(data), pix)
+                assert np.array_equal(decode_pixels(data), pix)  # dispatch
+
+    # general grayscale content: q=1 is near-lossless (rounding only)
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (24, 40, 1), dtype=np.uint8)
+    diff = jpeg_decode(jpeg_encode(img, quant=1)).astype(int) - img.astype(int)
+    assert np.abs(diff).max() <= 4
+
+    # RGB 4:4:4 (odd dims exercise MCU edge padding + crop)
+    img = rng.randint(0, 256, (17, 23, 3), dtype=np.uint8)
+    dec = jpeg_decode(jpeg_encode(img, quant=1))
+    assert dec.shape == (17, 23, 3)
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 6
+
+    # RGB 4:2:0 with restarts: decoder upsamples chroma; smooth image stays close
+    xx, yy = np.meshgrid(np.arange(32), np.arange(24))
+    img = np.stack(
+        [(xx * 3) % 256, (yy * 5) % 256, ((xx + yy) * 2) % 256], axis=-1
+    ).astype(np.uint8)
+    dec = jpeg_decode(jpeg_encode(img, quant=1, subsample=True, restart_interval=3))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 8
+
+    # custom quant table is carried in DQT and dequantized on decode
+    q = np.full((8, 8), 16, dtype=np.int64)
+    q[0, 0] = 8
+    dec = jpeg_decode(jpeg_encode(img, quant=q))
+    assert np.abs(dec.astype(int) - img.astype(int)).mean() < 8
+
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg_decode(b"BM not a jpeg")
+    # progressive rejection: splice SOF2 marker into a valid stream
+    data = bytearray(jpeg_encode(jpeg_test_pixels(1, 16, 16)))
+    data[data.index(b"\xff\xc0")] = 0xFF
+    data[data.index(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive"):
+        jpeg_decode(bytes(data))
+
+
+def test_real_jpeg_resize_and_stats_via_spark(spark):
+    """JPEG rows run the REAL pixel path end-to-end through the Spark
+    operators: image_stats decodes (Huffman + IDCT) and broadcasts grey
+    to r=g=b; resize fingerprints equal the NumPy reimplementation from
+    the shared block-constant pixel function (64-byte grey buffers)."""
+    import hashlib
+
+    import numpy as np
+
+    from crawler_spark.pipeline.multimodal import (
+        image_stats,
+        jpeg_test_pixels,
+        make_jpeg_media,
+        resize_images,
+        resize_nearest,
+    )
+
+    media = make_jpeg_media(spark, n=8)
+    got = {
+        r["media_id"]: (r["resized_md5"], r["resized_bytes"])
+        for r in resize_images(media, 8, 8, allow_stub=False).collect()
+    }
+    stats = {r["media_id"]: r for r in image_stats(media).collect()}
+    assert set(got) == set(stats) == set(range(200, 208))
+    for mid in got:
+        i = mid - 200
+        w, h = 16 + 8 * (i % 3), 16 + 8 * (i % 2)
+        pix = jpeg_test_pixels(mid, w, h)
+        rs = resize_nearest(pix, 8, 8)
+        assert got[mid] == (hashlib.md5(rs.tobytes().hex().encode()).hexdigest(), 64)
+        s = stats[mid]
+        total = int(pix.sum(dtype=np.int64))
+        assert (s["width"], s["height"]) == (w, h)
+        assert (s["sum_r"], s["sum_g"], s["sum_b"]) == (total, total, total)
+
+
 def test_substring_dup_spans_merge_and_threshold(spark):
     """Exact substring dedup: cross-doc duplicated k-grams become spans;
     within-doc repeats count toward the threshold; overlapping intervals
