@@ -2029,6 +2029,17 @@ def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.substring_dup_spans(docs, "doc_id", "text", k=5, min_count=2)
 
 
+def q_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup APPLIED (r5, the Lee et al. 2022 pipeline
+    ending): every non-first occurrence of a corpus-duplicated 5-gram is
+    cut (keep-first = global min (doc_id, pos) per gram, computed as a
+    map-side-combinable min-struct agg, not a per-gram sort), cut marks
+    merge into maximal intervals, and documents are reassembled from the
+    surviving tokens (pipeline/dedup.py::substring_dedup_apply)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.substring_dedup_apply(docs, "doc_id", "text", k=5, min_count=2)
+
+
 def q_source_quality_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted recrawl budgets (r4): the LLM tier's quality score
     feeding the crawl tier's budget allocator — per-source mean
@@ -3420,6 +3431,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": q_near_dup_clusters,
         "span_dedup": q_span_dedup,
         "substring_dup_spans": q_substring_dup_spans,
+        "substring_dedup_apply": q_substring_dedup_apply,
         "source_quality_budget": q_source_quality_budget,
         "boilerplate_strip": q_boilerplate_strip,
         "repetition_quality": q_repetition_quality,
@@ -4835,6 +4847,46 @@ SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
        CAST(max(pos) + 5 AS BIGINT) AS span_end,
        count(*)::BIGINT AS n_grams
 FROM i GROUP BY doc_id, isl""",
+        # r5: the applied ending — keep-first per duplicated gram
+        # (row_number in (doc_id, pos) order == the Spark side's
+        # min(struct) winner), islands-merge the cuts, anti-join tokens
+        # against the cut intervals, reassemble in token order.
+        "substring_dedup_apply": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS n FROM documents),
+g AS (
+  SELECT doc_id, s AS pos,
+         ('0x' || substr(md5(array_to_string(toks[s+1:s+5], ' ')), 1, 15))::BIGINT AS gram_h
+  FROM t, unnest(range(0, greatest(len(toks) - 4, 0))) u(s)),
+m AS (SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY gram_h ORDER BY doc_id, pos) AS rn,
+             count(*) OVER (PARTITION BY gram_h) AS c
+      FROM g),
+cuts AS (SELECT doc_id, pos FROM m WHERE c >= 2 AND rn > 1),
+f AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(max(pos + 5) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS ni
+  FROM cuts),
+i AS (SELECT doc_id, pos,
+             sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+      FROM f),
+sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 5 AS e
+       FROM i GROUP BY doc_id, isl),
+tok AS (SELECT doc_id, j - 1 AS idx, toks[j] AS tok
+        FROM t, unnest(range(1, n + 1)) u(j)),
+kept AS (
+  SELECT tk.doc_id, tk.idx, tk.tok
+  FROM tok tk LEFT JOIN sp
+    ON sp.doc_id = tk.doc_id AND tk.idx >= sp.s AND tk.idx < sp.e
+  WHERE sp.s IS NULL)
+SELECT t.doc_id,
+       CAST(t.n AS BIGINT) AS n_tokens,
+       CAST(t.n - count(k.idx) AS BIGINT) AS n_removed,
+       coalesce(string_agg(k.tok, ' ' ORDER BY k.idx), '') AS clean_text
+FROM t LEFT JOIN kept k ON k.doc_id = t.doc_id
+GROUP BY t.doc_id, t.n""",
         "boilerplate_strip": _sql_boilerplate_strip(),
         "inverted_postings": _sql_inverted_postings(),
         "pii_redact": _sql_pii_redact(),

@@ -597,6 +597,98 @@ def substring_dup_spans(
     )
 
 
+def substring_dedup_apply(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, min_count: int = 2
+) -> DataFrame:
+    """The Lee et al. 2022 pipeline ENDING (r5): cut every non-first
+    occurrence of a duplicated k-gram region and reassemble the documents.
+    :func:`substring_dup_spans` only *marks* duplicated spans; this
+    operator applies the keep-first policy — for each corpus-wide
+    duplicated k-gram, the globally first occurrence (min (id, pos))
+    survives, every later occurrence becomes a cut mark, cut marks merge
+    into maximal intervals per doc (islands), and each document is rebuilt
+    from the tokens outside its cut intervals.
+
+    Output: ``(id, n_tokens, n_removed, clean_text)`` for EVERY input doc
+    — ``clean_text`` is the whitespace-normalized lowercase token stream
+    with the cuts applied (docs shorter than k tokens pass through).
+
+    Scale shape: ONE gram-keyed exchange computes the duplicate count AND
+    the keep-first winner together (``min(struct(id, pos))`` is map-side
+    combinable — deliberately NOT a per-gram row_number window, which
+    would sort a 100-TB stopword gram's occurrences in a single task);
+    the mark-back is an equi-join on gram_h (AQE broadcasts the dup set
+    under threshold, degrades to a shuffled equi-join above it — never
+    nested-loop); the islands merge rides one per-doc exchange; and the
+    reassembly joins the merged cut spans back per doc and filters tokens
+    JVM-side (``F.filter`` with index + ``F.exists`` over the span array
+    — no Python touches text, and span arrays are tiny relative to docs).
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
+    idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    gram_arr = F.when(
+        F.size(toks) >= k,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k))),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = (
+        spread(df)
+        .select(F.col(id_col), F.posexplode(gram_arr).alias("pos", "gram"))
+        .select(F.col(id_col), "pos", md5h60(F.col("gram")).alias("gram_h"))
+    )
+    dup_first = (
+        grams.groupBy("gram_h")
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.min(F.struct(id_col, "pos")).alias("_first"),
+        )
+        .filter(F.col("_c") >= min_count)
+        .select("gram_h", "_first")
+    )
+    cuts = (
+        grams.join(dup_first, "gram_h")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col(f"_first.{id_col}"))
+                & (F.col("pos") == F.col("_first.pos"))
+            )
+        )
+        .select(id_col, "pos")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = cuts.withColumn(
+        "_new_isl",
+        (F.col("pos") > F.coalesce(prev_end, F.lit(-1))).cast("int"),
+    ).withColumn("_isl", F.sum("_new_isl").over(w))
+    spans = flagged.groupBy(id_col, "_isl").agg(
+        F.min("pos").cast("long").alias("s"),
+        (F.max("pos") + k).cast("long").alias("e"),
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("s", "e")).alias("_cuts")
+    )
+    joined = (
+        spread(df)
+        .select(F.col(id_col), toks.alias("_toks"))
+        .join(per_doc, id_col, "left")
+        .withColumn(
+            "_cuts", F.coalesce("_cuts", F.array().cast("array<struct<s:bigint,e:bigint>>"))
+        )
+    )
+    kept = F.filter(
+        F.col("_toks"),
+        lambda t, i: ~F.exists(F.col("_cuts"), lambda c: (i >= c["s"]) & (i < c["e"])),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept)).cast("long").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("clean_text"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # span-level exact dedup + document reassembly (CCNet/RefinedWeb line dedup)
 # ---------------------------------------------------------------------------

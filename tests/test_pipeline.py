@@ -868,6 +868,41 @@ def test_substring_dup_spans_merge_and_threshold(spark):
     }
 
 
+def test_substring_dedup_apply_keep_first_and_reassembly(spark):
+    """The applied Lee et al. ending (r5): the globally FIRST occurrence
+    of each duplicated gram survives (cross-doc: lower doc_id wins;
+    within-doc: lower pos wins), later occurrences are cut, cut intervals
+    merge, and docs reassemble from surviving tokens — including the
+    full-cut → empty-text and untouched-doc arms."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),     # owns first "c d e" → untouched
+            (2, "x y c d e z w"),       # loses "c d e" → cut [2,5)
+            (3, "p q r p q r p q r"),   # self-repeat: first copy survives
+            (4, "m n o"),               # unique → untouched
+            (5, "s t u xx s t u"),      # within-doc keep-first at pos 0
+            (6, "g1 g1 g1 g2 g2 g2"),   # owns both firsts → untouched
+            (7, "g1 g1 g1"),            # fully cut → empty clean_text
+            (8, "g2 g2 g2"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in dd.substring_dedup_apply(docs, "doc_id", "text", k=3).collect()
+    }
+    assert out == {
+        1: (8, 0, "a b c d e f g h"),
+        2: (7, 3, "x y z w"),
+        3: (9, 6, "p q r"),
+        4: (3, 0, "m n o"),
+        5: (7, 3, "s t u xx"),
+        6: (6, 0, "g1 g1 g1 g2 g2 g2"),
+        7: (3, 3, ""),
+        8: (3, 3, ""),
+    }
+
+
 def test_wav_codec_roundtrip_chunkwalk_and_stats(spark):
     """From-scratch WAV codec: encode→decode is identity for mono/stereo
     16-bit PCM; the chunk walk skips unknown (LIST) chunks with word

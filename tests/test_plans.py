@@ -274,6 +274,25 @@ def test_substring_dup_spans_markback_is_semi_never_pairs(spark, sf001_dir):
     assert simple.count("hashpartitioning(doc_id") == 1, simple
 
 
+def test_substring_dedup_apply_no_nested_loop_and_gram_equi_join(spark, sf001_dir):
+    """The applied substring dedup (r5) must keep every join an equi-join:
+    the dup/keep-first mark-back joins on gram_h, the span re-join on
+    doc_id — a nested-loop anywhere would be corpus² at scale. The
+    keep-first winner must come from the gram-keyed AGGREGATE (min-struct,
+    map-side combinable), not a per-gram sort window: exactly the islands
+    merge's doc_id Window pair may appear, no Window on gram_h."""
+    from crawler_spark.pipeline import dedup as dd
+
+    docs = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    out = dd.substring_dedup_apply(docs, "doc_id", "text", k=5)
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    simple = _plan(out, "simple")
+    assert simple.count("Window") == 2, simple  # islands merge only
+    assert "windowspecdefinition(gram_h" not in simple, simple
+
+
 def test_semantic_dedup_pair_join_is_equi_on_cluster(spark, sf001_dir):
     """SemDeDup's within-cluster pair join must be an equi-join on cid —
     a nested-loop fallback would be corpus² regardless of clustering."""
