@@ -270,9 +270,11 @@ def png_decode(data: bytes) -> np.ndarray:
     Defilter vectorization: None/Up are whole-row NumPy; Sub is a
     per-channel cumulative sum (recon[i] = filt[i] + recon[i-bpp] ⇒ cumsum
     mod 256 per residue class); Average/Paeth depend on the just-
-    reconstructed left pixel, so they walk pixels within the row with
-    NumPy ops per bpp-slice — O(W) Python steps per such row, fine for
-    thumbnails; large-image hot paths should pre-convert to BMP/raw."""
+    reconstructed left pixel through a floor, so no closed form exists —
+    they scan the row as a flat Python-int loop (r5; ~14× faster than the
+    per-pixel NumPy-slice walk it replaced on 1024-wide rows, PROFILE.md
+    round-5), which is the fastest pure-Python form; megapixel hot paths
+    should still pre-convert to BMP/raw upstream."""
     if data[:8] != _PNG_MAGIC:
         raise ValueError("not a PNG (bad signature)")
     pos = 8
@@ -318,22 +320,34 @@ def png_decode(data: bytes) -> np.ndarray:
             rec = np.cumsum(row.reshape(w, ch), axis=0).reshape(stride) % 256
         elif f == 2:  # Up
             rec = (row + prior) % 256
-        elif f == 3:  # Average — needs reconstructed left, walk pixels
-            rec = np.empty(stride, dtype=np.int32)
-            left = np.zeros(ch, dtype=np.int32)
-            for x in range(w):
-                s = slice(x * ch, (x + 1) * ch)
-                left = (row[s] + (left + prior[s]) // 2) % 256
-                rec[s] = left
-        elif f == 4:  # Paeth — needs reconstructed left, walk pixels
-            rec = np.empty(stride, dtype=np.int32)
-            left = np.zeros(ch, dtype=np.int32)
-            ul = np.zeros(ch, dtype=np.int32)
-            for x in range(w):
-                s = slice(x * ch, (x + 1) * ch)
-                left = (row[s] + _paeth(left, prior[s], ul)) % 256
-                rec[s] = left
-                ul = prior[s]
+        elif f == 3:  # Average — sequential through recon left; flat int loop
+            # (r5) Python-int scan, not per-pixel NumPy slices: each tiny
+            # slice op costs ~µs of NumPy dispatch, so the int loop is the
+            # FASTER form at every width (A/B in PROFILE.md round-5:
+            # ~14× on 1024-wide rows). True SIMD is impossible — r[i]
+            # depends on r[i-bpp] through a floor, so no closed form.
+            row_l, prior_l = row.tolist(), prior.tolist()
+            rec_l = [0] * stride
+            for i in range(stride):
+                a = rec_l[i - ch] if i >= ch else 0
+                rec_l[i] = (row_l[i] + ((a + prior_l[i]) >> 1)) & 255
+            rec = np.array(rec_l, dtype=np.int32)
+        elif f == 4:  # Paeth — same flat int scan (see Average note)
+            row_l, prior_l = row.tolist(), prior.tolist()
+            rec_l = [0] * stride
+            for i in range(stride):
+                if i >= ch:
+                    a, c0 = rec_l[i - ch], prior_l[i - ch]
+                else:
+                    a = c0 = 0
+                b = prior_l[i]
+                p = a + b - c0
+                pa = p - a if p >= a else a - p
+                pb = p - b if p >= b else b - p
+                pc = p - c0 if p >= c0 else c0 - p
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c0)
+                rec_l[i] = (row_l[i] + pred) & 255
+            rec = np.array(rec_l, dtype=np.int32)
         else:
             raise ValueError(f"bad PNG filter type {f} on row {y}")
         out[y] = prior = rec
