@@ -271,9 +271,9 @@ def png_decode(data: bytes) -> np.ndarray:
     per-channel cumulative sum (recon[i] = filt[i] + recon[i-bpp] ⇒ cumsum
     mod 256 per residue class); Average/Paeth depend on the just-
     reconstructed left pixel through a floor, so no closed form exists —
-    they scan the row as a flat Python-int loop (r5; ~14× faster than the
+    they scan the row as a flat Python-int loop (r5; ~11× faster than the
     per-pixel NumPy-slice walk it replaced on 1024-wide rows, PROFILE.md
-    round-5), which is the fastest pure-Python form; megapixel hot paths
+    round-5), the fastest pure-Python form; megapixel hot paths
     should still pre-convert to BMP/raw upstream."""
     if data[:8] != _PNG_MAGIC:
         raise ValueError("not a PNG (bad signature)")
