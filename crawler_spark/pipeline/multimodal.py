@@ -324,7 +324,7 @@ def png_decode(data: bytes) -> np.ndarray:
             # (r5) Python-int scan, not per-pixel NumPy slices: each tiny
             # slice op costs ~µs of NumPy dispatch, so the int loop is the
             # FASTER form at every width (A/B in PROFILE.md round-5:
-            # ~14× on 1024-wide rows). True SIMD is impossible — r[i]
+            # ~11× on 1024-wide rows). True SIMD is impossible — r[i]
             # depends on r[i-bpp] through a floor, so no closed form.
             row_l, prior_l = row.tolist(), prior.tolist()
             rec_l = [0] * stride
