@@ -3326,9 +3326,80 @@ _R4_FRONT = [
 ]
 
 
+# Round-5 rotation (the driver checks the FIRST 50 keys): 1 query new this
+# round, 5 whose implementation or harness changed this round after their
+# r4 check (multimodal_* gained JPEG rows in the corpora+oracle; the three
+# streaming twins ride the r5 _drain_stream teardown / _publish
+# empty-stage cleanup), then the 39 queries whose latest driver check is
+# r2 — ALL of them fit this window, including the 3 keys that overflowed
+# r4's 53-entry list past the 50-key window (warc_roundtrip,
+# binaryfile_ingest, exact_dedup — recorded per ADVICE r4: they were NOT
+# checked in r4), then 5 r3-checked fill picked from the kernel-critical
+# canon/seen/politeness paths. Exactly 50 keys (pinned by
+# test_entry_registry). After this window no query's latest driver check
+# is older than r3.
+_R5_FRONT = [
+    # -- new in round 5 (never driver-checked) --
+    "substring_dedup_apply",
+    # -- changed in round 5 after their last check --
+    "multimodal_features",
+    "multimodal_resize",
+    "stateful_budget_stream",
+    "url_dedup_stream",
+    "stream_crawl_rounds",
+    # -- last checked in r2 (all 39) --
+    "min_cost_supplier",
+    "lineitem_stats_by_flag",
+    "events_grouping_sets",
+    "large_volume_orders",
+    "sole_returned_supplier",
+    "customer_order_distribution",
+    "docs_lang_source_cube",
+    "promo_revenue_share",
+    "important_parts",
+    "major_part_suppliers",
+    "dedup_keep_first",
+    "simhash_near_dups",
+    "exact_dedup",
+    "minhash_signatures",
+    "lsh_est_jaccard",
+    "near_dup_clusters",
+    "span_dedup",
+    "repetition_quality",
+    "purchase_graph_pagerank",
+    "decontaminate",
+    "simhash",
+    "ngram_jaccard",
+    "embedding_topk",
+    "ann_ivf_topk",
+    "cosine_near_dups",
+    "lsh_bucket_pairs",
+    "semantic_dedup",
+    "warc_roundtrip",
+    "binaryfile_ingest",
+    "shared_shingle_pairs",
+    "text_quality",
+    "token_counts",
+    "lang_id",
+    "doc_fingerprint",
+    "quality_by_source",
+    "curate_corpus",
+    "stratified_sample_docs",
+    "balanced_sample_per_source",
+    "ann_lsh_topk",
+    # -- r3-checked fill: kernel-critical canon/seen/politeness paths --
+    "seen_anti_join",
+    "politeness_topk",
+    "robots_parse",
+    "outlink_tokens",
+    "host_budget",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _queries_base()
-    ordered = {k: base[k] for k in _R4_FRONT if k in base}
+    ordered = {k: base[k] for k in _R5_FRONT if k in base}
+    ordered.update({k: base[k] for k in _R4_FRONT if k in base and k not in ordered})
     ordered.update({k: base[k] for k in _R3_FRONT if k in base and k not in ordered})
     ordered.update({k: base[k] for k in _R2_FRONT if k in base and k not in ordered})
     ordered.update({k: v for k, v in base.items() if k not in ordered})

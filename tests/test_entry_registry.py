@@ -35,3 +35,17 @@ def test_oracle_sql_is_nonempty_select():
     for name, sql in E.oracle_sql().items():
         s = sql.strip().lower()
         assert s.startswith(("select", "with")), f"{name} oracle is not a query"
+
+
+def test_rotation_window_is_exactly_fifty_registered_keys():
+    """The driver checks only the FIRST 50 queries() keys (driver-window
+    contract); the rotation list must be exactly 50 registered keys with
+    no duplicates — r4's list silently grew to 53 and the overflow keys
+    were never checked (ADVICE r4)."""
+    front = E._R5_FRONT
+    assert len(front) == 50, f"rotation window has {len(front)} keys, want 50"
+    assert len(set(front)) == 50, "duplicate keys in rotation window"
+    base = E._queries_base()
+    unknown = [k for k in front if k not in base]
+    assert not unknown, f"rotation window names unregistered queries: {unknown}"
+    assert list(E.queries())[:50] == front
