@@ -161,6 +161,10 @@ def make_spark(cpus: int):
         .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "64g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # pinned OFF (it is the default, but the kernel's n_scheduled rides
+        # a CollectMetrics Observation whose counts speculation could
+        # double — ADVICE r4; benchmarks.py also bounds the observed value)
+        .config("spark.speculation", "false")
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)

@@ -797,6 +797,33 @@ def test_jpeg_codec_roundtrip_and_gates():
         jpeg_decode(bytes(data))
 
 
+def test_jpeg_spec_tables_pinned():
+    """Interop guard: encoder and decoder SHARE the Huffman/zigzag tables,
+    so an internal round-trip cannot catch a table typo — the stream would
+    stay self-consistent but non-standard. Pin the public T.81 values a
+    real decoder would require: the zigzag scan's first entries (Fig. A.6)
+    and known Annex-K canonical codes (DC-luma category 0 = '00', AC-luma
+    EOB = '1010', AC-luma ZRL = 11-bit '11111111001')."""
+    from crawler_spark.pipeline.multimodal import (
+        _JPEG_AC_LUMA,
+        _JPEG_DC_LUMA,
+        _JPEG_ZIGZAG,
+        _huff_encode_map,
+    )
+
+    assert list(_JPEG_ZIGZAG[:10]) == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    assert list(_JPEG_ZIGZAG[-4:]) == [47, 55, 62, 63]
+    assert sorted(_JPEG_ZIGZAG) == list(range(64))  # a permutation
+    dc = _huff_encode_map(*_JPEG_DC_LUMA)
+    assert dc[0] == (0b00, 2)
+    assert dc[1] == (0b010, 3) and dc[2] == (0b011, 3)
+    ac = _huff_encode_map(*_JPEG_AC_LUMA)
+    assert ac[0x00] == (0b1010, 4)  # EOB
+    assert ac[0x01] == (0b00, 2)
+    assert ac[0xF0] == (0b11111111001, 11)  # ZRL
+    assert len(_JPEG_AC_LUMA[1]) == 162
+
+
 def test_real_jpeg_resize_and_stats_via_spark(spark):
     """JPEG rows run the REAL pixel path end-to-end through the Spark
     operators: image_stats decodes (Huffman + IDCT) and broadcasts grey
