@@ -65,6 +65,7 @@ HEADLINE = [
     "near_dup_clusters",
     "span_dedup",
     "substring_dup_spans",
+    "substring_dedup_apply",
     "boilerplate_strip",
     "minhash_signatures",
     "simhash",
