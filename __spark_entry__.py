@@ -823,6 +823,42 @@ def _redir_url(c: Column) -> Column:
     return F.format_string("http://h%d.example.com/p%d", F.pmod(c, F.lit(50)), c)
 
 
+def q_crawl_trap_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-trap detection (r5): URL paths collapsed to templates (hex
+    runs → {x}, digit runs → {d}), counted per (host, template), flagged
+    when a template is both large and dominates its host — the
+    calendar/faceted/session infinite spaces that eat crawl budget at
+    10^10 scale (frontier/canon.py::url_template_stats; one map-side-
+    combined exchange + a window over the dimension-sized grouped
+    result). Corpus: a deterministic URL space synthesized from orders —
+    an /item/{orderkey} infinite space, a bounded /cat/x/page/y grid, and
+    singleton /about pages."""
+    orders = _t(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("https://h"),
+        (F.col("o_custkey") % 20).cast("string"),
+        F.lit(".example"),
+        F.when(
+            F.col("o_orderstatus") == "O",
+            F.concat(F.lit("/item/"), F.col("o_orderkey").cast("string")),
+        )
+        .when(
+            F.col("o_orderstatus") == "F",
+            F.concat(
+                F.lit("/cat/"),
+                (F.col("o_orderkey") % 5).cast("string"),
+                F.lit("/page/"),
+                (F.col("o_orderkey") % 97).cast("string"),
+            ),
+        )
+        .otherwise(F.lit("/about")),
+    )
+    from crawler_spark.frontier.canon import url_template_stats
+
+    frontier = orders.select(url.alias("url_canon")).distinct()
+    return url_template_stats(frontier, min_urls=50, min_share=0.3)
+
+
 def q_redirect_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded redirect-chain resolution (frontier/canon.resolve_redirects)
     — the declarative twin of the reference fetch's silent redirect
@@ -2038,6 +2074,18 @@ def q_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving tokens (pipeline/dedup.py::substring_dedup_apply)."""
     docs = _t(spark, sf_dir, "documents")
     return dd.substring_dedup_apply(docs, "doc_id", "text", k=5, min_count=2)
+
+
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (r5, LBFS/FastCDC family at token
+    granularity): bigram-hash-gated boundaries make chunking shift-
+    invariant — an insertion near the head of a doc moves every fixed
+    window but leaves downstream CDC chunks (and their dedup hits)
+    intact. Boundaries/slices/hashes are all in-row JVM higher-order
+    functions; the only shuffle is the chunk-hash keep-first agg
+    (pipeline/dedup.py::cdc_chunk_dedup)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.cdc_chunk_dedup(docs, "doc_id", "text", modulus=8)
 
 
 def q_source_quality_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3326,7 +3374,7 @@ _R4_FRONT = [
 ]
 
 
-# Round-5 rotation (the driver checks the FIRST 50 keys): 1 query new this
+# Round-5 rotation (the driver checks the FIRST 50 keys): 3 queries new this
 # round, 5 whose implementation or harness changed this round after their
 # r4 check (multimodal_* gained JPEG rows in the corpora+oracle; the three
 # streaming twins ride the r5 _drain_stream teardown / _publish
@@ -3387,12 +3435,13 @@ _R5_FRONT = [
     "stratified_sample_docs",
     "balanced_sample_per_source",
     "ann_lsh_topk",
+    # -- new in round 5 (landed after the first 6 entries were written) --
+    "crawl_trap_templates",
+    "cdc_chunk_dedup",
     # -- r3-checked fill: kernel-critical canon/seen/politeness paths --
     "seen_anti_join",
     "politeness_topk",
     "robots_parse",
-    "outlink_tokens",
-    "host_budget",
 ]
 
 
@@ -3441,6 +3490,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_budget": q_host_budget,
         "frontier_union": q_frontier_union,
         "redirect_chains": q_redirect_chains,
+        "crawl_trap_templates": q_crawl_trap_templates,
         "hll_seen_bound": q_hll_seen_bound,
         # relational coverage (SURVEY §2.4)
         "pricing_summary": q_pricing_summary,
@@ -3503,6 +3553,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "substring_dup_spans": q_substring_dup_spans,
         "substring_dedup_apply": q_substring_dedup_apply,
+        "cdc_chunk_dedup": q_cdc_chunk_dedup,
         "source_quality_budget": q_source_quality_budget,
         "boilerplate_strip": q_boilerplate_strip,
         "repetition_quality": q_repetition_quality,
@@ -4565,6 +4616,30 @@ SELECT user_id, min(priority) AS priority, count(*) AS n_sources FROM (
 ) GROUP BY user_id""",
         # fixed-iteration redirect resolution unrolled as chained CTEs (one
         # LEFT JOIN per hop, mirroring resolve_redirects' K bounded joins)
+        # r5: crawler-trap templates — same synthetic URL space, same
+        # hex-then-digit template collapse, share = exact IEEE division
+        # rounded 6 places on both engines.
+        "crawl_trap_templates": """
+WITH u AS (
+  SELECT DISTINCT
+    'https://h' || (o_custkey % 20) || '.example' ||
+    CASE WHEN o_orderstatus = 'O' THEN '/item/' || o_orderkey
+         WHEN o_orderstatus = 'F' THEN '/cat/' || (o_orderkey % 5) || '/page/' || (o_orderkey % 97)
+         ELSE '/about' END AS url
+  FROM orders),
+t AS (
+  SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+         regexp_replace(regexp_replace(
+             regexp_extract(url, '^[a-z]+://[^/]+(/[^?#]*)', 1),
+             '[0-9a-f]{8,}', '{x}', 'g'), '[0-9]+', '{d}', 'g') AS template
+  FROM u),
+g AS (SELECT host, template, count(*) AS n_urls FROM t GROUP BY host, template),
+s AS (SELECT host, template, n_urls,
+             round(n_urls / sum(n_urls) OVER (PARTITION BY host), 6) AS host_share
+      FROM g)
+SELECT host, template, n_urls, host_share,
+       (n_urls >= 50 AND host_share >= 0.3) AS is_trap
+FROM s WHERE n_urls >= 2""",
         "redirect_chains": """
 WITH ids AS (SELECT i FROM range(0, 500) t(i)),
 u AS (SELECT printf('http://h%d.example.com/p%d', i % 50, i) AS url FROM ids),
@@ -4958,6 +5033,37 @@ SELECT t.doc_id,
        coalesce(string_agg(k.tok, ' ' ORDER BY k.idx), '') AS clean_text
 FROM t LEFT JOIN kept k ON k.doc_id = t.doc_id
 GROUP BY t.doc_id, t.n""",
+        # r5: CDC chunk dedup — same bigram-gated boundaries (1 and every
+        # p in [2,n] with h60(bigram ending at p) % 8 = 0), chunks sliced
+        # between consecutive starts, keep-first = row_number in
+        # (doc_id, chunk_idx) order per chunk hash.
+        "cdc_chunk_dedup": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS n FROM documents),
+b AS (
+  SELECT doc_id, p
+  FROM t, unnest(range(2, greatest(n, 1) + 1)) u(p)
+  WHERE p <= n
+    AND ('0x' || substr(md5(toks[p-1] || ' ' || toks[p]), 1, 15))::BIGINT % 8 = 0),
+st AS (SELECT doc_id, 1 AS s FROM t WHERE n >= 1
+       UNION ALL SELECT doc_id, p FROM b),
+c AS (SELECT doc_id, s,
+             row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS chunk_idx,
+             lead(s) OVER (PARTITION BY doc_id ORDER BY s) AS nxt
+      FROM st),
+ch AS (SELECT c.doc_id, chunk_idx, s, coalesce(nxt, n + 1) AS e,
+             ('0x' || substr(md5(array_to_string(
+                 toks[s : coalesce(nxt, n + 1) - 1], ' ')), 1, 15))::BIGINT AS chunk_hash
+      FROM c JOIN t ON t.doc_id = c.doc_id),
+m AS (SELECT doc_id, chunk_idx, e - s AS n_chunk_tokens, chunk_hash,
+             count(*) OVER (PARTITION BY chunk_hash) AS n_copies,
+             row_number() OVER (PARTITION BY chunk_hash
+                                ORDER BY doc_id, chunk_idx) AS rn
+      FROM ch)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(n_chunk_tokens AS BIGINT) AS n_chunk_tokens,
+       chunk_hash, CAST(n_copies AS BIGINT) AS n_copies,
+       rn = 1 AS is_keeper
+FROM m""",
         "boilerplate_strip": _sql_boilerplate_strip(),
         "inverted_postings": _sql_inverted_postings(),
         "pii_redact": _sql_pii_redact(),

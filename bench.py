@@ -66,6 +66,7 @@ HEADLINE = [
     "span_dedup",
     "substring_dup_spans",
     "substring_dedup_apply",
+    "cdc_chunk_dedup",
     "boilerplate_strip",
     "minhash_signatures",
     "simhash",

@@ -14,7 +14,7 @@ import re
 from urllib.parse import urljoin, urlsplit, urlunsplit
 
 import pandas as pd
-from pyspark.sql import Column, functions as F
+from pyspark.sql import Column, Window, functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, StringType
 
@@ -544,3 +544,71 @@ def canonical_link_expr(html_col: Column, self_url: Column) -> Column:
     a = F.nullif(F.regexp_extract(html_col, _CANON_REL_FIRST, 1), F.lit(""))
     b = F.nullif(F.regexp_extract(html_col, _CANON_HREF_FIRST, 1), F.lit(""))
     return F.coalesce(a, b, self_url)
+
+
+# --- crawler-trap detection (URL path templates) -----------------------------
+
+_TEMPLATE_HEX = "[0-9a-f]{8,}"  # session ids / content hashes in paths
+_TEMPLATE_DIGITS = "[0-9]+"
+
+
+def url_template_expr(canon_url_col: Column) -> Column:
+    """Collapse a canonical URL's PATH to its template: long hex runs →
+    ``{x}`` first (session ids, content hashes), then digit runs → ``{d}``
+    (ids, dates, page numbers). ``/item/82731`` and ``/item/9`` become the
+    same ``/item/{d}`` — the unit at which infinite URL spaces (calendars,
+    faceted search, session links) reveal themselves. Pure JVM regexp —
+    codegen, no Python."""
+    path = F.coalesce(F.parse_url(canon_url_col, F.lit("PATH")), F.lit("/"))
+    return F.regexp_replace(
+        F.regexp_replace(path, _TEMPLATE_HEX, "{x}"), _TEMPLATE_DIGITS, "{d}"
+    )
+
+
+def url_template_stats(
+    df, url_col: str = "url_canon", min_urls: int = 50, min_share: float = 0.3
+):
+    """Crawler-trap detection over a (distinct-URL) frontier: count URLs
+    per (host, path template) and flag templates that are both large
+    (``>= min_urls``) and dominate their host (``>= min_share`` of the
+    host's URLs) — the signature of a calendar/faceted/session infinite
+    space that will eat a host's crawl budget at 10^10-URL scale. The
+    scheduler demotes flagged templates instead of fetching them breadth-
+    first (the classic trap mitigation; see Heritrix's path-repetition
+    rules for the lineage of the idea).
+
+    Input contract: URLs are already canonical + distinct (this runs on
+    post-dedup frontier state, so the count is a row count — no
+    count-distinct shuffle). Output: one row per (host, template) with
+    ``n_urls >= 2`` (singleton templates are noise and would dominate the
+    row count), share as an exact-division double rounded to 6 places
+    (IEEE division is correctly rounded — cross-engine deterministic),
+    and the trap flag.
+
+    Scale shape: ONE exchange — groupBy(host, template) with map-side
+    partial aggregation; the per-host total rides a window over the
+    ALREADY-GROUPED (small) result partitioned by host, not a second scan
+    of the frontier. Template cardinality is bounded by real site
+    structure (hosts × distinct path shapes), so the grouped result is
+    dimension-sized; a host-hot template is exactly what gets collapsed
+    to one row.
+    """
+    url = F.col(url_col)
+    grouped = (
+        df.select(
+            host_expr(url).alias("host"), url_template_expr(url).alias("template")
+        )
+        .groupBy("host", "template")
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+    )
+    w_host = Window.partitionBy("host")
+    share = F.round(F.col("n_urls") / F.sum("n_urls").over(w_host), 6)
+    return (
+        grouped.withColumn("host_share", share)
+        .withColumn(
+            "is_trap",
+            (F.col("n_urls") >= min_urls) & (F.col("host_share") >= min_share),
+        )
+        .filter(F.col("n_urls") >= 2)
+        .select("host", "template", "n_urls", "host_share", "is_trap")
+    )

@@ -690,6 +690,89 @@ def substring_dedup_apply(
 
 
 # ---------------------------------------------------------------------------
+# content-defined chunking dedup (FastCDC/LBFS family at token granularity)
+# ---------------------------------------------------------------------------
+
+def cdc_chunk_dedup(
+    df: DataFrame, id_col: str, text_col: str, modulus: int = 8
+) -> DataFrame:
+    """Content-defined chunking dedup (r5): the LBFS/FastCDC idea at token
+    granularity. A chunk boundary opens before token p (1-based, p ≥ 2)
+    whenever the hash of the bigram (tok[p-1], tok[p]) ≡ 0 mod
+    ``modulus`` — boundaries are a function of CONTENT, not position, so
+    inserting one token near the start of a document shifts every
+    fixed-window span (:func:`span_dedup` finds nothing) but leaves every
+    CDC boundary after the edit in place, and the unchanged chunks still
+    dedup. Expected chunk length ≈ ``modulus`` tokens.
+
+    Output: one row per chunk — ``(id, chunk_idx, n_chunk_tokens,
+    chunk_hash, n_copies, is_keeper)``; keeper = the globally first
+    occurrence (min (id, chunk_idx)) of each distinct chunk content.
+
+    Scale shape: boundaries, chunk slicing, and chunk hashing all happen
+    IN-ROW with JVM higher-order functions (filter/sequence/zip_with/
+    slice over the token array — no per-doc window, no doc-keyed
+    exchange, no Python); the only shuffle is the chunk-hash groupBy
+    computing copies + keeper in one map-side-combinable agg (the
+    substring_dedup_apply pattern), and the mark-back is an equi-join on
+    chunk_hash (AQE broadcast under threshold). A corpus-hot chunk
+    ("click here to subscribe") costs its row count, never a pair blowup.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
+    n = F.size(toks)
+    # greatest(n,1) keeps sequence() ascending for empty docs; Spark's
+    # sequence(2,1) would otherwise emit a DESCENDING [2,1] — the p>=2 &
+    # p<=n guard drops those phantom positions
+    bpos = F.filter(
+        F.sequence(F.lit(2), F.greatest(n, F.lit(1))),
+        lambda p: (p >= 2)
+        & (p <= n)
+        & (
+            F.pmod(
+                md5h60(F.concat_ws(" ", F.slice(toks, p - 1, 2))), F.lit(modulus)
+            )
+            == 0
+        ),
+    )
+    starts = F.concat(F.array(F.lit(1)), bpos)
+    ends = F.concat(bpos, F.array(n + 1))
+    chunks = F.when(
+        n >= 1,
+        F.zip_with(
+            starts,
+            ends,
+            lambda s, e: F.struct(
+                (e - s).alias("n_chunk_tokens"),
+                md5h60(F.concat_ws(" ", F.slice(toks, s, e - s))).alias("chunk_hash"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<n_chunk_tokens:int,chunk_hash:bigint>>"))
+    per_chunk = spread(df).select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "c")
+    ).select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("c.n_chunk_tokens").cast("long").alias("n_chunk_tokens"),
+        F.col("c.chunk_hash").alias("chunk_hash"),
+    )
+    agg = per_chunk.groupBy("chunk_hash").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min(F.struct(id_col, "chunk_idx")).alias("_first"),
+    )
+    return per_chunk.join(agg, "chunk_hash").select(
+        F.col(id_col),
+        "chunk_idx",
+        "n_chunk_tokens",
+        "chunk_hash",
+        "n_copies",
+        (
+            (F.col(id_col) == F.col(f"_first.{id_col}"))
+            & (F.col("chunk_idx") == F.col("_first.chunk_idx"))
+        ).alias("is_keeper"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # span-level exact dedup + document reassembly (CCNet/RefinedWeb line dedup)
 # ---------------------------------------------------------------------------
 

@@ -930,6 +930,105 @@ def test_substring_dedup_apply_keep_first_and_reassembly(spark):
     }
 
 
+def test_cdc_chunk_dedup_matches_reference_and_shift_invariance(spark):
+    """CDC chunking (r5): Spark output equals a pure-Python reimplementation
+    of the boundary rule (bigram md5h60 % m == 0) including keep-first
+    keeper flags; chunks partition each doc exactly; and the FastCDC
+    property holds — prepending one token to a doc re-chunks only the
+    head, so the tail chunks still dedup against the original (the case
+    fixed-window span_dedup cannot catch)."""
+    import hashlib
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliett "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu one two three four"
+    )
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, "zzz " + base), (4, "solo"), (5, "")],
+        "doc_id long, text string",
+    )
+    rows = dd.cdc_chunk_dedup(docs, "doc_id", "text", modulus=4).collect()
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def ref_chunks(text: str) -> list[tuple[int, int]]:
+        toks = [t for t in text.lower().split() if t]
+        n = len(toks)
+        if n == 0:
+            return []
+        bps = [
+            p
+            for p in range(2, n + 1)
+            if h60(toks[p - 2] + " " + toks[p - 1]) % 4 == 0
+        ]
+        starts, ends = [1] + bps, bps + [n + 1]
+        return [
+            (e - s, h60(" ".join(toks[s - 1 : e - 1])))
+            for s, e in zip(starts, ends)
+        ]
+
+    texts = {1: base, 2: base, 3: "zzz " + base, 4: "solo", 5: ""}
+    expect = {}  # (doc, idx) -> (len, hash)
+    copies: dict[int, list[tuple[int, int]]] = {}
+    for d in sorted(texts):
+        for i, (ln, h) in enumerate(ref_chunks(texts[d])):
+            expect[(d, i)] = (ln, h)
+            copies.setdefault(h, []).append((d, i))
+    got = {(r["doc_id"], r["chunk_idx"]): r for r in rows}
+    assert set(got) == set(expect)
+    for key, (ln, h) in expect.items():
+        r = got[key]
+        assert (r["n_chunk_tokens"], r["chunk_hash"]) == (ln, h)
+        assert r["n_copies"] == len(copies[h])
+        assert r["is_keeper"] == (min(copies[h]) == key)
+    # partition property: chunk lengths sum to the token count
+    for d, text in texts.items():
+        ntok = len([t for t in text.split() if t])
+        assert sum(v[0] for k, v in expect.items() if k[0] == d) == ntok
+    # identical docs fully dedup (doc 2 keeps nothing)
+    assert all(not r["is_keeper"] for r in rows if r["doc_id"] == 2)
+    # shift invariance: doc 3 shares its tail chunks with doc 1
+    shared = {v[1] for k, v in expect.items() if k[0] == 1} & {
+        v[1] for k, v in expect.items() if k[0] == 3
+    }
+    assert shared, "prepending one token destroyed every chunk — not CDC"
+
+
+def test_url_template_stats_flags_infinite_spaces(spark):
+    """Crawler-trap detection (r5): digit/hex runs collapse to one
+    template; a host-dominating large template is flagged; small or
+    minority templates are not; singleton templates are dropped."""
+    from crawler_spark.frontier.canon import url_template_stats
+
+    rows = (
+        [(f"https://big.example/item/{i}",) for i in range(12)]
+        + [(f"https://big.example/page/{i}",) for i in range(3)]
+        + [("https://big.example/about",)]
+        + [(f"https://tiny.example/p/{i}",) for i in range(4)]
+        + [(f"https://hex.example/s/{'ab12cd34ef' * 2}{i}/view",) for i in range(6)]
+    )
+    df = spark.createDataFrame(rows, "url_canon string")
+    out = {
+        (r["host"], r["template"]): r
+        for r in url_template_stats(df, min_urls=10, min_share=0.5).collect()
+    }
+    big_item = out[("big.example", "/item/{d}")]
+    assert big_item["n_urls"] == 12 and big_item["is_trap"]
+    assert big_item["host_share"] == 0.75  # 12/16
+    assert not out[("big.example", "/page/{d}")]["is_trap"]
+    assert ("big.example", "/about") not in out  # singleton dropped
+    tiny = out[("tiny.example", "/p/{d}")]
+    assert tiny["n_urls"] == 4 and not tiny["is_trap"]  # dominant but small
+    # hex run collapses to {x} (then trailing digit to {d})
+    assert ("hex.example", "/s/{x}/view") in out or any(
+        k[0] == "hex.example" for k in out
+    )
+    hexk = [k for k in out if k[0] == "hex.example"]
+    assert len(hexk) == 1, hexk  # all six URLs collapsed to ONE template
+
+
 def test_wav_codec_roundtrip_chunkwalk_and_stats(spark):
     """From-scratch WAV codec: encode→decode is identity for mono/stereo
     16-bit PCM; the chunk walk skips unknown (LIST) chunks with word

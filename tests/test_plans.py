@@ -293,6 +293,21 @@ def test_substring_dedup_apply_no_nested_loop_and_gram_equi_join(spark, sf001_di
     assert "windowspecdefinition(gram_h" not in simple, simple
 
 
+def test_cdc_chunk_dedup_in_row_chunking_one_equi_join(spark, sf001_dir):
+    """CDC chunk dedup (r5): chunking must be in-row (NO Window, NO
+    doc-keyed exchange before the explode) and the keep-first mark-back an
+    equi-join on chunk_hash — nested-loop would be chunks² at scale."""
+    from crawler_spark.pipeline import dedup as dd
+
+    docs = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    out = dd.cdc_chunk_dedup(docs, "doc_id", "text", modulus=8)
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    simple = _plan(out, "simple")
+    assert "Window" not in simple, simple
+
+
 def test_semantic_dedup_pair_join_is_equi_on_cluster(spark, sf001_dir):
     """SemDeDup's within-cluster pair join must be an equi-join on cid —
     a nested-loop fallback would be corpus² regardless of clustering."""
