@@ -823,6 +823,32 @@ def _redir_url(c: Column) -> Column:
     return F.format_string("http://h%d.example.com/p%d", F.pmod(c, F.lit(50)), c)
 
 
+def q_change_rate_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured change-rate recrawl priority (r5, Cho & Garcia-Molina
+    estimator family): each URL's fetch history — here the events stream
+    read as (url from user_id, fingerprint from event_type) — yields a
+    Laplace-smoothed change ratio; ratio × seconds-stale scores the
+    freshness lost by not recrawling now. Ratio not -log(1-r): IEEE
+    division is cross-engine bit-identical, libm is not, and the induced
+    ranking is the same (frontier/priority.py::change_rate_priority; one
+    url-keyed exchange shared by the lag window and the aggregate)."""
+    from crawler_spark.frontier.priority import change_rate_priority
+
+    events = _t(spark, sf_dir, "events")
+    hist = events.select(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("user_id") % 30).cast("string"),
+            F.lit(".example/p/"),
+            F.col("user_id").cast("string"),
+        ).alias("url_canon"),
+        "ts",
+        F.col("event_id").alias("seq"),
+        F.col("event_type").alias("fp"),
+    )
+    return change_rate_priority(hist)
+
+
 def q_crawl_trap_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawler-trap detection (r5): URL paths collapsed to templates (hex
     runs → {x}, digit runs → {d}), counted per (host, template), flagged
@@ -3438,10 +3464,10 @@ _R5_FRONT = [
     # -- new in round 5 (landed after the first 6 entries were written) --
     "crawl_trap_templates",
     "cdc_chunk_dedup",
-    # -- r3-checked fill: kernel-critical canon/seen/politeness paths --
+    "change_rate_recrawl",
+    # -- r3-checked fill: kernel-critical canon/seen paths --
     "seen_anti_join",
     "politeness_topk",
-    "robots_parse",
 ]
 
 
@@ -3491,6 +3517,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_union": q_frontier_union,
         "redirect_chains": q_redirect_chains,
         "crawl_trap_templates": q_crawl_trap_templates,
+        "change_rate_recrawl": q_change_rate_recrawl,
         "hll_seen_bound": q_hll_seen_bound,
         # relational coverage (SURVEY §2.4)
         "pricing_summary": q_pricing_summary,
@@ -4616,6 +4643,33 @@ SELECT user_id, min(priority) AS priority, count(*) AS n_sources FROM (
 ) GROUP BY user_id""",
         # fixed-iteration redirect resolution unrolled as chained CTEs (one
         # LEFT JOIN per hop, mirroring resolve_redirects' K bounded joins)
+        # r5: change-rate recrawl — lag() change flags, Laplace-smoothed
+        # ratio, staleness via the pinned MICROSECOND diff (second-level
+        # date_diff counts boundary crossings in DuckDB, complete seconds
+        # in Spark), integer-divided to seconds on both engines.
+        "change_rate_recrawl": """
+WITH h AS (
+  SELECT 'https://h' || (user_id % 30) || '.example/p/' || user_id AS url_canon,
+         ts, event_id AS seq, event_type AS fp
+  FROM events),
+c AS (
+  SELECT url_canon, ts, fp,
+         CASE WHEN fp != lag(fp) OVER (PARTITION BY url_canon ORDER BY ts, seq)
+              THEN 1 ELSE 0 END AS chg
+  FROM h),
+a AS (SELECT url_canon, count(*) AS n_obs, sum(chg) AS n_changes,
+             max(ts) AS last_ts
+      FROM c GROUP BY url_canon)
+SELECT url_canon,
+       CAST(n_obs AS BIGINT) AS n_obs,
+       CAST(n_changes AS BIGINT) AS n_changes,
+       round((n_changes + 1) / (n_obs + 2), 6) AS change_ratio,
+       CAST((epoch_us(TIMESTAMP '2024-02-15 00:00:00') - epoch_us(last_ts)) // 1000000
+            AS BIGINT) AS staleness_s,
+       round(round((n_changes + 1) / (n_obs + 2), 6) *
+             ((epoch_us(TIMESTAMP '2024-02-15 00:00:00') - epoch_us(last_ts)) // 1000000),
+             6) AS recrawl_score
+FROM a""",
         # r5: crawler-trap templates — same synthetic URL space, same
         # hex-then-digit template collapse, share = exact IEEE division
         # rounded 6 places on both engines.

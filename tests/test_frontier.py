@@ -600,3 +600,43 @@ def test_recrawl_priority_defaults_and_rank(spark):
     assert rows["https://h.ex/b"][1] == 1
     assert rows["https://h.ex/a"][1] == 2
     assert rows["https://h.ex/c"][1] == 3
+
+
+def test_change_rate_priority_estimator_and_truncation(spark):
+    """Cho & Garcia-Molina-family recrawl estimator: change flags count
+    fingerprint TRANSITIONS in (ts, seq) order; ratio is Laplace-smoothed
+    (n_changes+1)/(n_obs+2); staleness floors the microsecond diff to
+    whole seconds (the cross-engine-safe path — second-level date_diff
+    disagrees between engines on sub-second tails); score = ratio ×
+    staleness rounded 6 d.p."""
+    from crawler_spark.frontier.priority import change_rate_priority
+
+    rows = [
+        # url A: x x y y z → 2 transitions over 5 obs
+        ("a", "2024-02-01 00:00:00", 1, "x"),
+        ("a", "2024-02-02 00:00:00", 2, "x"),
+        ("a", "2024-02-03 00:00:00", 3, "y"),
+        ("a", "2024-02-04 00:00:00", 4, "y"),
+        ("a", "2024-02-14 23:59:30.500000", 5, "z"),
+        # url B: single observation → prior 1/3
+        ("b", "2024-02-10 12:00:00", 1, "q"),
+        # url C: same-ts tie broken by seq: order (x, y) → 1 change
+        ("c", "2024-02-05 00:00:00", 2, "y"),
+        ("c", "2024-02-05 00:00:00", 1, "x"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url_canon string, ts string, seq int, fp string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = {
+        r["url_canon"]: r
+        for r in change_rate_priority(df, now_ts="2024-02-15 00:00:00").collect()
+    }
+    a = out["a"]
+    assert (a["n_obs"], a["n_changes"]) == (5, 2)
+    assert a["change_ratio"] == round(3 / 7, 6)
+    assert a["staleness_s"] == 29  # 29.5 s floors to 29, not 30
+    assert a["recrawl_score"] == round(round(3 / 7, 6) * 29, 6)
+    b = out["b"]
+    assert (b["n_obs"], b["n_changes"], b["change_ratio"]) == (1, 0, round(1 / 3, 6))
+    c = out["c"]
+    assert (c["n_obs"], c["n_changes"]) == (2, 1)
