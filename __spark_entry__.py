@@ -2102,6 +2102,37 @@ def q_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.substring_dedup_apply(docs, "doc_id", "text", k=5, min_count=2)
 
 
+def q_host_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-host detection (r5): hosts sharing ≥2 exact content
+    fingerprints with overlap ≥ half the smaller catalog are mirror
+    candidates — fetch one, demote the rest. Pairs come ONLY from a
+    fingerprint equi-join with a hot-fingerprint cap (never host×host;
+    pipeline/dedup.py::host_mirrors). The documents corpus carries no
+    exact cross-source copies, so the corpus is the sources PLUS
+    deterministic mirror structure: ``mirror-<src>`` hosts re-serving
+    every 3rd doc (high-overlap → flagged) and ``partial-<src>`` hosts
+    with a few shared docs diluted by unique content (evidence but low
+    ratio → reported, not flagged) — both decision arms value-hashed."""
+    docs = _t(spark, sf_dir, "documents")
+    orig = docs.select(F.col("source").alias("host"), "text")
+    mirror = docs.filter(F.pmod("doc_id", F.lit(3)) == 0).select(
+        F.concat(F.lit("mirror-"), F.col("source")).alias("host"), "text"
+    )
+    partial_shared = docs.filter(F.pmod("doc_id", F.lit(24)) == 1).select(
+        F.concat(F.lit("partial-"), F.col("source")).alias("host"), "text"
+    )
+    partial_unique = docs.filter(F.pmod("doc_id", F.lit(3)) == 1).select(
+        F.concat(F.lit("partial-"), F.col("source")).alias("host"),
+        F.concat(F.col("text"), F.lit(" uniq"), F.col("doc_id").cast("string")).alias(
+            "text"
+        ),
+    )
+    corpus = orig.unionByName(mirror).unionByName(partial_shared).unionByName(
+        partial_unique
+    )
+    return dd.host_mirrors(corpus, "host", "text", min_common=2, min_ratio=0.5)
+
+
 def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking dedup (r5, LBFS/FastCDC family at token
     granularity): bigram-hash-gated boundaries make chunking shift-
@@ -3465,9 +3496,9 @@ _R5_FRONT = [
     "crawl_trap_templates",
     "cdc_chunk_dedup",
     "change_rate_recrawl",
-    # -- r3-checked fill: kernel-critical canon/seen paths --
+    "host_mirrors",
+    # -- r3-checked fill: kernel-critical seen path --
     "seen_anti_join",
-    "politeness_topk",
 ]
 
 
@@ -3581,6 +3612,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dup_spans": q_substring_dup_spans,
         "substring_dedup_apply": q_substring_dedup_apply,
         "cdc_chunk_dedup": q_cdc_chunk_dedup,
+        "host_mirrors": q_host_mirrors,
         "source_quality_budget": q_source_quality_budget,
         "boilerplate_strip": q_boilerplate_strip,
         "repetition_quality": q_repetition_quality,
@@ -5087,6 +5119,31 @@ SELECT t.doc_id,
        coalesce(string_agg(k.tok, ' ' ORDER BY k.idx), '') AS clean_text
 FROM t LEFT JOIN kept k ON k.doc_id = t.doc_id
 GROUP BY t.doc_id, t.n""",
+        # r5: mirror hosts — distinct (host, fp), hot-fp cap, fp-keyed
+        # pair join, sizes over the SAME capped set.
+        "host_mirrors": f"""
+WITH corpus AS (
+  SELECT source AS host, text FROM documents
+  UNION ALL
+  SELECT 'mirror-' || source, text FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT 'partial-' || source, text FROM documents WHERE doc_id % 24 = 1
+  UNION ALL
+  SELECT 'partial-' || source, text || ' uniq' || doc_id
+  FROM documents WHERE doc_id % 3 = 1),
+fp AS (SELECT DISTINCT host,
+              ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp
+       FROM corpus),
+hot AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) > 16),
+f2 AS (SELECT * FROM fp WHERE fp NOT IN (SELECT fp FROM hot)),
+sz AS (SELECT host, count(*) AS sz FROM f2 GROUP BY host),
+pr AS (SELECT a.host AS host_a, b.host AS host_b, count(*) AS n_common
+       FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.host < b.host
+       GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT host_a, host_b, CAST(n_common AS BIGINT) AS n_common,
+       round(n_common / least(sa.sz, sb.sz), 6) AS overlap,
+       round(n_common / least(sa.sz, sb.sz), 6) >= 0.5 AS is_mirror
+FROM pr JOIN sz sa ON pr.host_a = sa.host JOIN sz sb ON pr.host_b = sb.host""",
         # r5: CDC chunk dedup — same bigram-gated boundaries (1 and every
         # p in [2,n] with h60(bigram ending at p) % 8 = 0), chunks sliced
         # between consecutive starts, keep-first = row_number in

@@ -689,6 +689,73 @@ def substring_dedup_apply(
     )
 
 
+def host_mirrors(
+    df: DataFrame,
+    host_col: str,
+    text_col: str,
+    min_common: int = 2,
+    min_ratio: float = 0.5,
+    host_cap: int = 16,
+) -> DataFrame:
+    """Mirror-host detection (r5): hosts serving the same content under
+    different names (mirrors, CDNs fronting one origin, scraped clones) —
+    at crawl scale you want to fetch ONE of them and demote the rest
+    before spending budget. Evidence = exact content fingerprints: two
+    hosts sharing ≥ ``min_common`` distinct document fingerprints, with
+    overlap ratio common/min(|A|,|B|) ≥ ``min_ratio``, are mirror
+    candidates.
+
+    Output: ``(host_a, host_b, n_common, overlap, is_mirror)`` for every
+    pair with ≥ ``min_common`` shared fingerprints (host_a < host_b).
+
+    Scale shape: pairs are generated ONLY through a fingerprint equi-join
+    (the LSH-band discipline — never host×host). The blowup guard is
+    ``host_cap``: a fingerprint present on more than that many distinct
+    hosts is dropped before the self-join (k hosts → k² pairs; ubiquitous
+    boilerplate is not mirror evidence anyway — the ngram_jaccard df_cap
+    move). Host catalog sizes are counted over the SAME capped set so the
+    ratio is internally consistent. Distinct-ing (host, fp) first bounds
+    every downstream row count by the catalog, not the corpus.
+    """
+    fps = df.select(
+        F.col(host_col).alias("host"), md5h60(F.col(text_col)).alias("fp")
+    ).distinct()
+    hot = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_nh"))
+        .filter(F.col("_nh") > host_cap)
+        .select("fp")
+    )
+    capped = fps.join(hot, "fp", "left_anti")
+    sizes = capped.groupBy("host").agg(F.count(F.lit(1)).alias("_sz"))
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp")) & (F.col("a.host") < F.col("b.host")),
+        )
+        .groupBy(F.col("a.host").alias("host_a"), F.col("b.host").alias("host_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    sa = sizes.select(F.col("host").alias("host_a"), F.col("_sz").alias("_sza"))
+    sb = sizes.select(F.col("host").alias("host_b"), F.col("_sz").alias("_szb"))
+    overlap = F.round(
+        F.col("n_common") / F.least(F.col("_sza"), F.col("_szb")), 6
+    )
+    return (
+        pairs.join(sa, "host_a")
+        .join(sb, "host_b")
+        .select(
+            "host_a",
+            "host_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            overlap.alias("overlap"),
+            (overlap >= min_ratio).alias("is_mirror"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # content-defined chunking dedup (FastCDC/LBFS family at token granularity)
 # ---------------------------------------------------------------------------

@@ -996,6 +996,38 @@ def test_cdc_chunk_dedup_matches_reference_and_shift_invariance(spark):
     assert shared, "prepending one token destroyed every chunk — not CDC"
 
 
+def test_host_mirrors_cap_threshold_and_ratio(spark):
+    """Mirror detection (r5): full mirror flagged at ratio 1.0; partial
+    overlap below min_ratio reported unflagged; a single shared doc stays
+    under min_common; a fingerprint on more than host_cap hosts is
+    dropped BEFORE the pair join (ubiquitous boilerplate never pairs);
+    within-host duplicate texts collapse via the distinct."""
+    rows = (
+        [("a", f"doc {i} body") for i in range(6)]
+        + [("b", f"doc {i} body") for i in range(6)]        # b mirrors a fully
+        + [("c", "doc 0 body"), ("c", "doc 1 body")]        # 2 shared (on a,b,c = cap ok)
+        + [("c", f"c-only {i}") for i in range(6)]          # catalog 8 → ratio 2/6 < 0.5
+        + [("d", "doc 2 body"), ("d", "doc 2 body")]        # 1 shared (dup rows collapse)
+        + [("d", "d-only")]
+        + [(h, "cookie banner") for h in "abcd"]            # on ALL 4 hosts → capped out
+    )
+    df = spark.createDataFrame(rows, "host string, text string")
+    out = {
+        (r["host_a"], r["host_b"]): r
+        for r in dd.host_mirrors(
+            df, "host", "text", min_common=2, min_ratio=0.5, host_cap=3
+        ).collect()
+    }
+    ab = out[("a", "b")]
+    assert (ab["n_common"], ab["overlap"], ab["is_mirror"]) == (6, 1.0, True)
+    ac = out[("a", "c")]
+    assert (ac["n_common"], ac["overlap"], ac["is_mirror"]) == (2, round(2 / 6, 6), False)
+    assert ("a", "d") not in out  # 1 shared < min_common
+    assert ("b", "d") not in out
+    assert not out[("b", "c")]["is_mirror"]
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+
+
 def test_url_template_stats_flags_infinite_spaces(spark):
     """Crawler-trap detection (r5): digit/hex runs collapse to one
     template; a host-dominating large template is flagged; small or
