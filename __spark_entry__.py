@@ -2102,6 +2102,29 @@ def q_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.substring_dedup_apply(docs, "doc_id", "text", k=5, min_count=2)
 
 
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (r5, the Iceberg rewrite_data_files
+    maintenance pass for the parquet-dir checkpoint fallback): files
+    packed per partition in (size desc, path) order by running-total
+    next-fit — group = EXPLICIT floor(bytes_before / target), cumsum and
+    group count on one windowed exchange (sinks.py::compaction_plan).
+    File listing synthesized from orders: partition p<orderkey%8>, size
+    floor(o_totalprice)."""
+    from crawler_spark.sinks import compaction_plan
+
+    orders = _t(spark, sf_dir, "orders")
+    files = orders.select(
+        F.concat(F.lit("p"), F.pmod("o_orderkey", F.lit(8)).cast("string")).alias(
+            "partition"
+        ),
+        F.concat(
+            F.lit("part-"), F.col("o_orderkey").cast("string"), F.lit(".parquet")
+        ).alias("path"),
+        F.floor("o_totalprice").cast("long").alias("size_bytes"),
+    )
+    return compaction_plan(files, target_bytes=1_000_000)
+
+
 def q_host_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mirror-host detection (r5): hosts sharing ≥2 exact content
     fingerprints with overlap ≥ half the smaller catalog are mirror
@@ -3497,8 +3520,7 @@ _R5_FRONT = [
     "cdc_chunk_dedup",
     "change_rate_recrawl",
     "host_mirrors",
-    # -- r3-checked fill: kernel-critical seen path --
-    "seen_anti_join",
+    "compaction_plan",
 ]
 
 
@@ -3613,6 +3635,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup_apply": q_substring_dedup_apply,
         "cdc_chunk_dedup": q_cdc_chunk_dedup,
         "host_mirrors": q_host_mirrors,
+        "compaction_plan": q_compaction_plan,
         "source_quality_budget": q_source_quality_budget,
         "boilerplate_strip": q_boilerplate_strip,
         "repetition_quality": q_repetition_quality,
@@ -5119,6 +5142,24 @@ SELECT t.doc_id,
        coalesce(string_agg(k.tok, ' ' ORDER BY k.idx), '') AS clean_text
 FROM t LEFT JOIN kept k ON k.doc_id = t.doc_id
 GROUP BY t.doc_id, t.n""",
+        # r5: compaction plan — same (size desc, path) pack order,
+        # explicit floor of the IEEE division, cumsum excludes self.
+        "compaction_plan": """
+WITH f AS (
+  SELECT 'p' || (o_orderkey % 8) AS partition,
+         'part-' || o_orderkey || '.parquet' AS path,
+         CAST(floor(o_totalprice) AS BIGINT) AS size_bytes
+  FROM orders),
+w AS (
+  SELECT partition, path, size_bytes,
+         CAST(floor(coalesce(sum(size_bytes) OVER (
+             PARTITION BY partition ORDER BY size_bytes DESC, path
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             / 1000000) AS BIGINT) AS group_id
+  FROM f)
+SELECT partition, path, size_bytes, group_id,
+       CAST(max(group_id) OVER (PARTITION BY partition) + 1 AS BIGINT) AS n_groups
+FROM w""",
         # r5: mirror hosts — distinct (host, fp), hot-fp cap, fp-keyed
         # pair join, sizes over the SAME capped set.
         "host_mirrors": f"""

@@ -21,7 +21,7 @@ coalesces to one partition by design.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 #: storage.go:38-40 flushes every 100 rows; kept as documentation only.
 REFERENCE_FLUSH_ROWS = 100
@@ -61,3 +61,55 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """Read an ORC directory; schema travels with the file (no inference
     pass, no declared schema needed — unlike JSONL)."""
     return spark.read.orc(path)
+
+
+def compaction_plan(
+    files: DataFrame,
+    part_col: str = "partition",
+    path_col: str = "path",
+    size_col: str = "size_bytes",
+    target_bytes: int = 128 << 20,
+) -> DataFrame:
+    """Small-file compaction planner (r5) — the maintenance pass a real
+    Iceberg table runs as ``rewrite_data_files``, for the parquet-dir
+    checkpoint fallback (scheduler.py's Iceberg stand-in): a long crawl
+    appends a file per round per partition, and scan task count grows
+    without bound until someone groups small files into target-size
+    rewrites. Within each partition, files are packed in deterministic
+    (size desc, path) order by running-total next-fit: a file joins group
+    ``floor(bytes_before_it / target_bytes)`` — the planner real
+    compactors use (sort, accumulate, cut at the target), and a pure
+    windowed cumsum here.
+
+    Output: one row per file — ``(partition, path, size_bytes, group_id,
+    n_groups)``; the executor rewrites each (partition, group_id) set as
+    one file. floor() is EXPLICIT (Spark's double→int cast truncates,
+    DuckDB's rounds — the repo determinism rule), and the division is a
+    single IEEE op so the oracle replays group ids bit-identically.
+
+    Scale shape: one exchange on the partition key; both the cumsum and
+    the per-partition group count ride the SAME window sort (two frames,
+    one exchange — the stacked-window discipline). File listings are
+    metadata-sized (one row per file, not per record), so this plans a
+    100-TB table's rewrite with a dimension-scale job.
+    """
+    w = Window.partitionBy(part_col).orderBy(F.col(size_col).desc(), F.col(path_col))
+    cum_before = F.coalesce(
+        F.sum(size_col).over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    group = F.floor(cum_before / F.lit(target_bytes)).cast("long")
+    n_groups = (
+        F.max(group).over(
+            Window.partitionBy(part_col).orderBy(
+                F.col(size_col).desc(), F.col(path_col)
+            ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        + 1
+    )
+    return files.select(
+        F.col(part_col),
+        F.col(path_col),
+        F.col(size_col).cast("long").alias(size_col),
+        group.alias("group_id"),
+        n_groups.cast("long").alias("n_groups"),
+    )

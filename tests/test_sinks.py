@@ -91,3 +91,33 @@ def test_read_warc_parses_response_records(spark, tmp_path):
         "http://a.com/x": ("2024-01-02 03:04:05", body1),
         "http://b.com/y": ("2024-02-03 04:05:06", body2),
     }
+
+
+def test_compaction_plan_next_fit_groups_and_one_exchange(spark):
+    """Compaction planner: files pack per partition in (size desc, path)
+    order; a file's group is floor(bytes-before-it / target) so groups
+    cut when the running total crosses the target; single-file partitions
+    get one group; and the whole plan rides ONE partition-keyed exchange
+    (cumsum + group count as stacked frames)."""
+    from crawler_spark.sinks import compaction_plan
+
+    rows = [
+        # partition A, target 100: sizes 70,40,40,30 in pack order
+        ("A", "f1", 70), ("A", "f2", 40), ("A", "f3", 40), ("A", "f4", 30),
+        # tie on size → path ascending breaks it
+        ("B", "b2", 60), ("B", "b1", 60),
+        ("C", "c1", 10),
+    ]
+    df = spark.createDataFrame(rows, "partition string, path string, size_bytes int")
+    out = compaction_plan(df, target_bytes=100)
+    # read the plan BEFORE execution: AQE's finalized plan prints the same
+    # exchange again inside its materialized ShuffleQueryStage
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    got = {r["path"]: (r["group_id"], r["n_groups"]) for r in out.collect()}
+    # A: cum-before 0,70,110,150 → groups 0,0,1,1 (2 groups)
+    assert got["f1"] == (0, 2) and got["f2"] == (0, 2)
+    assert got["f3"] == (1, 2) and got["f4"] == (1, 2)
+    # B: b1 packs first (path tiebreak): cum-before 0,60 → both group 0
+    assert got["b1"] == (0, 1) and got["b2"] == (0, 1)
+    assert got["c1"] == (0, 1)
