@@ -86,3 +86,96 @@ def pagerank(
         if t % checkpoint_every == 0 and t < iters:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 3,
+    small_scores: bool = False,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """``(node, hub, authority)`` after ``iters`` HITS iterations
+    (Kleinberg 1999), the second classic crawl-prioritization signal:
+    authorities are pages worth fetching, hubs are pages worth
+    re-parsing for outlinks — both feed the frontier's priority column
+    exactly like :func:`pagerank`.
+
+    Per iteration (classic sequential order — authorities from the
+    PREVIOUS hubs, then hubs from the NEW authorities):
+
+    - ``a_raw(v) = round(Σ_{u→v} h(u), 8)``; normalize ``a(v) =
+      round(a_raw(v) / Σ a_raw, 8)``
+    - ``h_raw(u) = round(Σ_{u→v} a(v), 8)``; normalize likewise.
+
+    Determinism contract (same family as :func:`pagerank`, plus the
+    repo's DECIMAL rule): each float sum is rounded to 8 d.p. so
+    partition-order ulp drift cannot surface; each NORMALIZER is an
+    exact ``DECIMAL(18,8)`` sum (partition-order-independent by
+    construction) converted once to double for a single correctly
+    rounded division. L1 (sum) normalization is deliberate — the
+    textbook L2 needs ``sqrt``, a libm call the cross-engine rules ban
+    from anything rank-adjacent; L1 yields identical orderings. Nodes
+    with no in-edges score authority 0, no out-edges hub 0.
+
+    Scale shape: TWO node-keyed exchanges per iteration (one per
+    direction), both with map-side partial aggregation; the edge frame
+    is persisted once and never reshuffles when ``small_scores`` lets
+    the node-sized score frames broadcast (host graphs: 10^7 hosts of a
+    10^10-page crawl). The normalizer rides each iteration's plan as a
+    scalar aggregate crossJoin (the rank_weighted_budgets shape) — no
+    driver-side collect. Lineage is cut every ``checkpoint_every``
+    iterations exactly as in :func:`pagerank`.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct().persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    maybe_bcast = F.broadcast if small_scores else (lambda df: df)
+
+    def _l1_normalize(raw: DataFrame, col: str) -> DataFrame:
+        tot = raw.agg(
+            F.sum(F.col(col).cast("decimal(18,8)")).alias("_tot")
+        )
+        return raw.crossJoin(F.broadcast(tot)).select(
+            "node",
+            F.round(
+                F.col(col) / F.col("_tot").cast("double"), 8
+            ).alias(col),
+        )
+
+    hubs = nodes.withColumn("hub", F.lit(1.0))
+    auths = nodes.withColumn("authority", F.lit(1.0))
+    for t in range(1, iters + 1):
+        a_raw = nodes.join(
+            maybe_bcast(
+                e.join(maybe_bcast(hubs.withColumnRenamed("node", "src")), "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.round(F.sum("hub"), 8).alias("authority"))
+            ),
+            "node",
+            "left",
+        ).select("node", F.coalesce("authority", F.lit(0.0)).alias("authority"))
+        auths = _l1_normalize(a_raw, "authority")
+        h_raw = nodes.join(
+            maybe_bcast(
+                e.join(maybe_bcast(auths.withColumnRenamed("node", "dst")), "dst")
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.round(F.sum("authority"), 8).alias("hub"))
+            ),
+            "node",
+            "left",
+        ).select("node", F.coalesce("hub", F.lit(0.0)).alias("hub"))
+        hubs = _l1_normalize(h_raw, "hub")
+        if t % checkpoint_every == 0 and t < iters:
+            hubs = hubs.localCheckpoint()
+            auths = auths.localCheckpoint()
+    return nodes.join(hubs, "node").join(auths, "node").select(
+        "node", "hub", "authority"
+    )

@@ -420,3 +420,67 @@ def pii_redact(df, id_col: str, text_col: str):
         counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{name}"))
         cur = F.regexp_replace(cur, pat, repl)
     return df.select(F.col(id_col), *counts, cur.alias("clean_text"))
+
+
+def corpus_familiarity(df, id_col: str, text_col: str):
+    """Unigram-LM corpus-familiarity score per document — the log-free
+    stand-in for the CCNet/Wenzek-et-al. perplexity filter: documents
+    whose tokens are RARE against the corpus distribution score low
+    (gibberish, boilerplate IDs, lang-mix), documents of pure stopwords
+    score high; the curation pipeline keeps the middle band, exactly as
+    CCNet buckets by LM perplexity.
+
+    Score = ``(Σ_i cnt(tok_i)) / (n_tokens · N)`` — the mean relative
+    corpus frequency over the document's token OCCURRENCES. Both the
+    per-document numerator (Σ of BIGINT counts) and the denominator
+    (two BIGINTs multiplied) are exact integers, so cross-engine
+    determinism needs only ONE correctly rounded IEEE division at the
+    end — no float sums to drift, no ``ln`` (the classic
+    ``Σ log p`` formulation is banned from rank keys by the repo's
+    libm rule; mean-frequency yields the same keep/drop band).
+
+    Output: ``(id, n_tokens, sum_cnt, familiarity)`` — empty documents
+    score 0.
+
+    Shape at 100 TB: explode tokens → token-keyed count with MAP-SIDE
+    partial aggregation (one exchange, vocab-sized result) → vocab
+    BROADCAST back onto the exploded stream (no fact-sized token-keyed
+    shuffle — the tfidf/inverted-postings discipline; stopword skew
+    never materializes as a hot reduce key) → per-doc sum (one doc-keyed
+    exchange, also map-side combined). The corpus total N rides the plan
+    as a scalar aggregate crossJoin, not a separate driver count() job.
+    """
+    from crawler_spark.pipeline.dedup import spread
+
+    toks = (
+        spread(df)
+        .select(F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("tok"))
+        .persist()  # scanned twice: vocab-count build + scored stream
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    big_n = vocab.agg(F.sum("cnt").alias("_n_corpus"))
+    per_doc = (
+        toks.join(F.broadcast(vocab), "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("cnt").alias("sum_cnt"),
+        )
+    )
+    scored = (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .crossJoin(F.broadcast(big_n))
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("sum_cnt", F.lit(0)).cast("long").alias("sum_cnt"),
+            F.when(F.coalesce("n_tokens", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.col("sum_cnt").cast("double")
+                / (F.col("n_tokens") * F.col("_n_corpus")).cast("double")
+            )
+            .alias("familiarity"),
+        )
+    )
+    return scored

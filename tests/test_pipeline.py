@@ -1370,3 +1370,109 @@ def test_detect_changes_classification(spark):
         3: ("removed", "c", None),
         4: ("added", None, "d"),
     }
+
+
+# ---------------------------------------------------------------------------
+# HITS, corpus familiarity, sequence packing (r5 continuation)
+# ---------------------------------------------------------------------------
+
+
+def test_hits_matches_python_oracle(spark):
+    """3-iteration L1-normalized HITS on a small directed graph vs an
+    exact Python replay of the same determinism contract."""
+    from crawler_spark.pipeline.graph import hits
+
+    edges = [(1, 3), (2, 3), (3, 4), (2, 4), (4, 1)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits(df, iters=3, small_scores=True).collect()
+    }
+
+    nodes = sorted({n for e in edges for n in e})
+    hub = {n: 1.0 for n in nodes}
+    auth = {}
+    for _ in range(3):
+        raw_a = {
+            n: round(sum(hub[s] for s, d in edges if d == n), 8) for n in nodes
+        }
+        ta = sum(raw_a.values())  # exact: 8-d.p. values, tiny count
+        auth = {n: round(raw_a[n] / ta, 8) for n in nodes}
+        raw_h = {
+            n: round(sum(auth[d] for s, d in edges if s == n), 8) for n in nodes
+        }
+        th = sum(raw_h.values())
+        hub = {n: round(raw_h[n] / th, 8) for n in nodes}
+
+    assert set(got) == set(nodes)
+    for n in nodes:
+        assert got[n] == (hub[n], auth[n])
+    # node 3 takes two of the four hub votes -> top authority; 4 beats 1.
+    order = sorted(nodes, key=lambda n: -auth[n])
+    assert order[0] == 3
+    # L1 norms hold (up to the 8-d.p. per-node rounding)
+    assert abs(sum(a for _, a in got.values()) - 1.0) < 1e-6
+    assert abs(sum(h for h, _ in got.values()) - 1.0) < 1e-6
+
+
+def test_corpus_familiarity_matches_python(docs_df):
+    from collections import Counter
+
+    cnt = Counter(t for _, text in DOCS for t in text.lower().split())
+    n_corpus = sum(cnt.values())
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["sum_cnt"], r["familiarity"])
+        for r in ts.corpus_familiarity(docs_df, "doc_id", "text").collect()
+    }
+    assert set(got) == {d for d, _ in DOCS}
+    for doc_id, text in DOCS:
+        toks = text.lower().split()
+        sum_cnt = sum(cnt[t] for t in toks)
+        fam = sum_cnt / (len(toks) * n_corpus) if toks else 0.0
+        assert got[doc_id] == (len(toks), sum_cnt, fam)
+    # stopword-heavy doc 0 is more familiar than the unrelated-words doc 3
+    assert got[0][2] > got[3][2]
+
+
+def test_sequence_pack_matches_python_next_fit(spark):
+    """Budget-4 packing on hand-written token counts: full pieces are
+    singleton packs, remainders next-fit per source by explicit-floor
+    cumsum, per-pack stats consistent."""
+    from crawler_spark.pipeline.packing import sequence_pack
+
+    rows = [
+        # (doc_id, source, n_tokens) -> text of n one-char tokens
+        (1, "a", 9),   # pieces: 4,4,1(rem)
+        (2, "a", 3),   # rem 3
+        (3, "a", 4),   # one full piece exactly
+        (4, "b", 2),   # rem 2
+        (5, "b", 6),   # 4 + rem 2
+    ]
+    df = spark.createDataFrame(
+        [(d, s, " ".join(["x"] * n)) for d, s, n in rows],
+        ["doc_id", "source", "text"],
+    )
+    out = sequence_pack(df, "doc_id", "text", "source", budget=4).collect()
+    by_piece = {(r["doc_id"], r["piece_idx"]): r for r in out}
+
+    # piece split: ceil(n/4) pieces, all 4s then the remainder
+    for d, s, n in rows:
+        pieces = [r for r in out if r["doc_id"] == d]
+        assert len(pieces) == -(-n // 4)
+        assert sum(p["piece_tokens"] for p in pieces) == n
+    # full pieces are their own pack of exactly budget tokens
+    for r in out:
+        if r["piece_tokens"] == 4:
+            assert r["pack_id"] == f"full-{r['doc_id']}-{r['piece_idx']}"
+            assert (r["pack_tokens"], r["n_pack_pieces"]) == (4, 1)
+            assert r["pack_fill"] == 1.0
+    # source a remainders in (doc_id, piece_idx) order: sizes 1 (doc1), 3
+    # (doc2): cum_before 0 and 1 -> both floor to group 0 -> one pack of 4
+    assert by_piece[(1, 2)]["pack_id"] == "rem-a-0"
+    assert by_piece[(2, 0)]["pack_id"] == "rem-a-0"
+    assert by_piece[(1, 2)]["pack_tokens"] == 4
+    assert by_piece[(1, 2)]["n_pack_pieces"] == 2
+    # source b remainders: doc4 rem 2 (cum 0 -> g0), doc5 rem 2 (cum 2 -> g0)
+    assert by_piece[(4, 0)]["pack_id"] == "rem-b-0"
+    assert by_piece[(5, 1)]["pack_id"] == "rem-b-0"
+    assert by_piece[(4, 0)]["pack_fill"] == 1.0
