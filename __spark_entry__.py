@@ -2186,7 +2186,10 @@ def q_link_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("src"),
         (F.col("l_suppkey") + F.lit(1_000_000)).alias("dst"),
     )
-    return hits(edges, iters=3, small_scores=True)
+    # cache_partitions=8: the purchase graph is dimension-scale (16k
+    # nodes, 587k edges) — uncapped caches pay 6 iterations of 64-task
+    # scheduling for sub-100ms of compute (see graph.hits docstring)
+    return hits(edges, iters=3, small_scores=True, cache_partitions=8)
 
 
 def q_corpus_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:

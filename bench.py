@@ -81,6 +81,9 @@ HEADLINE = [
     "pii_redact",
     "recrawl_changes",
     "purchase_graph_pagerank",
+    "link_hits_scores",
+    "corpus_familiarity",
+    "sequence_pack",
     "decontaminate",
     "quality_by_source",
     "json_props_rollup",

@@ -94,7 +94,8 @@ def hits(
     dst_col: str = "dst",
     iters: int = 3,
     small_scores: bool = False,
-    checkpoint_every: int = 4,
+    checkpoint_every: int = 1,
+    cache_partitions: int | None = None,
 ) -> DataFrame:
     """``(node, hub, authority)`` after ``iters`` HITS iterations
     (Kleinberg 1999), the second classic crawl-prioritization signal:
@@ -126,17 +127,36 @@ def hits(
     10^10-page crawl). The normalizer rides each iteration's plan as a
     scalar aggregate crossJoin (the rank_weighted_budgets shape) — no
     driver-side collect. Lineage is cut every ``checkpoint_every``
-    iterations exactly as in :func:`pagerank`.
+    iterations — default EVERY iteration, unlike :func:`pagerank`: the
+    normalizer references its raw frame twice (score branch + total
+    branch), so an uncut lineage doubles per half-iteration (2^(2·iters)
+    copies of the edge join by the end — measured pathological at three
+    iterations on a 10^6-edge graph). With the cut, each iteration is
+    one job over node-sized frames and the twice-referenced raw
+    aggregate is deduplicated by exchange reuse inside that job.
+
+    ``cache_partitions``: optional coalesce of the persisted edge/node
+    caches. Each iteration re-scans those caches, so a cache whose
+    partition count came from ``spark.sql.shuffle.partitions`` pays
+    per-iteration task-scheduling overhead far exceeding the compute on
+    a small graph (A/B at 587k edges / local[32]: 8-partition cache
+    took the steady-state iteration from ~2.0 s to ~1.2 s). Leave None
+    at data scale — there the shuffle width IS the right cache width.
     """
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct().persist()
+    ).distinct()
+    if cache_partitions:
+        e = e.coalesce(cache_partitions)
+    e = e.persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
     )
+    if cache_partitions:
+        nodes = nodes.coalesce(max(1, cache_partitions // 2))
+    nodes = nodes.persist()
     maybe_bcast = F.broadcast if small_scores else (lambda df: df)
 
     def _l1_normalize(raw: DataFrame, col: str) -> DataFrame:
@@ -163,6 +183,10 @@ def hits(
             "left",
         ).select("node", F.coalesce("authority", F.lit(0.0)).alias("authority"))
         auths = _l1_normalize(a_raw, "authority")
+        if t % checkpoint_every == 0:
+            # cut BEFORE hubs consume it — a later cut would leave the
+            # hub plan holding the uncut authority lineage
+            auths = auths.localCheckpoint()
         h_raw = nodes.join(
             maybe_bcast(
                 e.join(maybe_bcast(auths.withColumnRenamed("node", "dst")), "dst")
@@ -175,7 +199,6 @@ def hits(
         hubs = _l1_normalize(h_raw, "hub")
         if t % checkpoint_every == 0 and t < iters:
             hubs = hubs.localCheckpoint()
-            auths = auths.localCheckpoint()
     return nodes.join(hubs, "node").join(auths, "node").select(
         "node", "hub", "authority"
     )
