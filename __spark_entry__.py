@@ -2216,6 +2216,30 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_pack(docs, "doc_id", "text", "source", budget=64)
 
 
+def q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization (r5, the ftfy-lite crawl-output pass):
+    control-char strip + whitespace collapse (JVM regexp, map-only) +
+    NFC composition (Arrow-batched pandas UDF; DuckDB's nfc_normalize
+    implements the same Unicode canonical composition — verified
+    byte-identical). The corpus is documents with DETERMINISTIC
+    mojibake injected: every 3rd doc gets decomposed ``e``+U+0301
+    sequences (NFC must recompose to ``é``), every 5th-mod-1 doc gets
+    BEL control chars and ragged whitespace
+    (pipeline/textstats.py::unicode_normalize)."""
+    docs = _t(spark, sf_dir, "documents")
+    t1 = F.when(
+        F.pmod("doc_id", F.lit(3)) == 0,
+        # literal pattern: e -> e + U+0301 COMBINING ACUTE (decomposed on purpose)
+        F.regexp_replace("text", "e", "e\u0301"),
+    ).otherwise(F.col("text"))
+    t2 = F.when(
+        F.pmod("doc_id", F.lit(5)) == 1,
+        F.concat(F.lit("\x07\x07 "), t1, F.lit(" \t ")),
+    ).otherwise(t1)
+    corrupted = docs.select("doc_id", t2.alias("text"))
+    return ts.unicode_normalize(corrupted, "doc_id", "text")
+
+
 def q_source_quality_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted recrawl budgets (r4): the LLM tier's quality score
     feeding the crawl tier's budget allocator — per-source mean
@@ -3724,6 +3748,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "quality_by_source": q_quality_by_source,
         "corpus_familiarity": q_corpus_familiarity,
+        "unicode_normalize": q_unicode_normalize,
         "curate_corpus": q_curate_corpus,
         "stratified_sample_docs": q_stratified_sample_docs,
         "balanced_sample_per_source": q_balanced_sample_per_source,
@@ -5334,6 +5359,31 @@ SELECT d.doc_id,
             ELSE CAST(sum_cnt AS DOUBLE) / CAST(n_tokens * nn AS DOUBLE)
        END AS familiarity
 FROM documents d LEFT JOIN pd USING (doc_id) CROSS JOIN n""",
+        # r5: unicode normalization — same corruption injection, same
+        # fixed order (ctrl strip -> explicit-class whitespace collapse
+        # -> NFC); DuckDB nfc_normalize = Python unicodedata NFC (same
+        # Unicode canonical composition, verified byte-identical).
+        "unicode_normalize": r"""
+WITH c0 AS (SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0
+             THEN replace(text, 'e', 'e' || chr(769)) ELSE text END AS t1
+      FROM documents),
+c AS (SELECT doc_id,
+        CASE WHEN doc_id % 5 = 1
+             THEN chr(7) || chr(7) || ' ' || t1 || ' ' || chr(9) || ' '
+             ELSE t1 END AS text
+      FROM c0),
+s AS (SELECT doc_id, text,
+        len(regexp_extract_all(text,
+            '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]')) AS n_ctrl,
+        trim(regexp_replace(regexp_replace(text,
+            '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+            '[ \t\n\r]+', ' ', 'g')) AS pre
+      FROM c)
+SELECT doc_id, CAST(n_ctrl AS BIGINT) AS n_ctrl,
+       nfc_normalize(pre) != text AS changed,
+       nfc_normalize(pre) AS clean_text
+FROM s""",
         # r5: sequence packing — same 64-token pieces, same CASE pack-id
         # (full pieces own pack; remainders next-fit by explicit-floor
         # integer-division cumsum per source), same windowed pack stats.

@@ -84,6 +84,7 @@ HEADLINE = [
     "link_hits_scores",
     "corpus_familiarity",
     "sequence_pack",
+    "unicode_normalize",
     "decontaminate",
     "quality_by_source",
     "json_props_rollup",

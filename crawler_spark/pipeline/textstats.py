@@ -2,7 +2,9 @@
 
 All operators here are pure built-in Column expressions — they run entirely
 inside whole-stage codegen (no Python, no Arrow transfer), so a 100 TB scan
-is bounded by parquet read throughput, not UDF overhead. Every expression
+is bounded by parquet read throughput, not UDF overhead. (One deliberate
+exception: ``unicode_normalize``'s NFC step is an Arrow-batched pandas
+UDF — Spark has no built-in Unicode normalizer; see its docstring.) Every expression
 has an exact ANSI-SQL twin (used by ``__spark_entry__.oracle_sql``), which
 is why the formulas avoid engine-specific hash functions in favour of md5.
 
@@ -13,6 +15,7 @@ additions that make the engine a usable corpus-curation pipeline.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, functions as F
 
 # Tiny per-language stopword seed lists (order matters only for docs).
@@ -484,3 +487,61 @@ def corpus_familiarity(df, id_col: str, text_col: str):
         )
     )
     return scored
+
+
+def unicode_normalize(df, id_col: str, text_col: str):
+    """Unicode text normalization for crawl output — the ftfy-lite pass
+    every web corpus needs before tokenization: strip C0/C1 control
+    characters, collapse whitespace runs, and NFC-compose combining
+    sequences (``e`` + U+0301 → ``é``) so byte-identical text dedups
+    byte-identically.
+
+    Output: ``(id, n_ctrl, changed, clean_text)``.
+
+    Order (fixed, part of the contract): (1) control strip, (2)
+    whitespace collapse + trim, (3) NFC. Steps 1-2 are JVM
+    ``regexp_replace`` (map-only, whole-stage codegen). The whitespace
+    class is the EXPLICIT ``[ \\t\\n\\r]`` — Java's ``\\s`` includes
+    ``\\x0B`` where RE2's does not, and step 1 already removed
+    ``\\x0B``/``\\x0C``, so the explicit class is the cross-engine
+    common denominator. Step 3 is an Arrow-batched pandas UDF over
+    ``unicodedata.normalize`` (both it and DuckDB's ``nfc_normalize``
+    implement the same Unicode canonical composition — verified
+    byte-identical on combining-sequence/reordering cases). No shuffle
+    anywhere: at 100 TB this is a map-only pass; the only Python cost
+    is the NFC batch, and a deployment can gate it behind a
+    ``rlike('[^\\x00-\\x7F]')`` pre-filter since NFC is identity on
+    ASCII.
+    """
+    import unicodedata
+
+    @F.pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda x: x if x is None else unicodedata.normalize("NFC", x)
+        )
+
+    ctrl = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+    t0 = F.col(text_col)
+    t1 = F.regexp_replace(t0, ctrl, "")
+    t2 = F.trim(F.regexp_replace(t1, r"[ \t\n\r]+", " "))
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(text_col).alias("_orig"),
+            F.regexp_count(t0, F.lit(ctrl)).cast("long").alias("n_ctrl"),
+            t2.alias("_pre_nfc"),
+        )
+        .select(
+            F.col(id_col),
+            "_orig",
+            "n_ctrl",
+            _nfc(F.col("_pre_nfc")).alias("clean_text"),
+        )
+        .select(
+            F.col(id_col),
+            "n_ctrl",
+            (F.col("clean_text") != F.col("_orig")).alias("changed"),
+            "clean_text",
+        )
+    )

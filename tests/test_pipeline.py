@@ -1476,3 +1476,23 @@ def test_sequence_pack_matches_python_next_fit(spark):
     assert by_piece[(4, 0)]["pack_id"] == "rem-b-0"
     assert by_piece[(5, 1)]["pack_id"] == "rem-b-0"
     assert by_piece[(4, 0)]["pack_fill"] == 1.0
+
+
+def test_unicode_normalize_nfc_ctrl_and_whitespace(spark):
+    rows = [
+        (0, "cafe\u0301 time"),      # decomposed -> composed e-acute
+        (1, "a\x07b\x00c"),              # control chars stripped, counted
+        (2, "  ragged \t\n spaces  "),   # collapse + trim
+        (3, "plain ascii"),              # untouched
+        (4, ""),                         # empty
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_ctrl"], r["changed"], r["clean_text"])
+        for r in ts.unicode_normalize(df, "doc_id", "text").collect()
+    }
+    assert got[0] == (0, True, "caf\u00e9 time")
+    assert got[1] == (2, True, "abc")
+    assert got[2] == (0, True, "ragged spaces")
+    assert got[3] == (0, False, "plain ascii")
+    assert got[4] == (0, False, "")
