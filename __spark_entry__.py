@@ -2240,6 +2240,27 @@ def q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.unicode_normalize(corrupted, "doc_id", "text")
 
 
+def q_adaptive_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latency-adaptive per-host crawl delay (r5, Heritrix adaptive-
+    politeness family): EWMA of observed fetch latency folded per host
+    in (ts, latency) order — one host-keyed exchange, in-row JVM
+    aggregate fold, per-step round(…,8) so DuckDB's list_reduce replays
+    the recurrence bit-identically (frontier/politeness.py::
+    adaptive_politeness). Fetch log synthesized from events: host =
+    h<user_id mod 50>, latency = value."""
+    from crawler_spark.frontier.politeness import adaptive_politeness
+
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        F.concat(F.lit("h"), F.pmod("user_id", F.lit(50)).cast("string")).alias(
+            "host"
+        ),
+        "ts",
+        F.col("value").alias("latency_ms"),
+    )
+    return adaptive_politeness(log)
+
+
 def q_source_quality_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted recrawl budgets (r4): the LLM tier's quality score
     feeding the crawl tier's budget allocator — per-source mean
@@ -3749,6 +3770,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_by_source": q_quality_by_source,
         "corpus_familiarity": q_corpus_familiarity,
         "unicode_normalize": q_unicode_normalize,
+        "adaptive_politeness": q_adaptive_politeness,
         "curate_corpus": q_curate_corpus,
         "stratified_sample_docs": q_stratified_sample_docs,
         "balanced_sample_per_source": q_balanced_sample_per_source,
@@ -5384,6 +5406,23 @@ SELECT doc_id, CAST(n_ctrl AS BIGINT) AS n_ctrl,
        nfc_normalize(pre) != text AS changed,
        nfc_normalize(pre) AS clean_text
 FROM s""",
+        # r5: adaptive politeness — DuckDB list_reduce seeds acc with
+        # element 1 and folds the rest, exactly the Spark
+        # aggregate(slice(h,2,n), h[1], …) contract; same (ts, lat)
+        # order, same floor(x*1e8+0.5)/1e8 per-step rounding (engine
+        # round() disagrees at the last digit; see adaptive_politeness
+        # docstring), same explicit delay floor.
+        "adaptive_politeness": """
+WITH l AS (SELECT 'h' || (user_id % 50) AS host, ts, value AS lat FROM events),
+h AS (SELECT host, count(*) AS n_obs, list(lat ORDER BY ts, lat) AS hs
+      FROM l GROUP BY host),
+e AS (SELECT host, n_obs,
+             list_reduce(hs, (acc, x) ->
+                 floor((0.25*x + 0.75*acc) * 1e8 + 0.5) / 1e8) AS ewma
+      FROM h)
+SELECT host, CAST(n_obs AS BIGINT) AS n_obs, ewma AS ewma_latency,
+       greatest(100, CAST(floor(4.0 * ewma) AS BIGINT)) AS delay_ms
+FROM e""",
         # r5: sequence packing — same 64-token pieces, same CASE pack-id
         # (full pieces own pack; remainders next-fit by explicit-floor
         # integer-division cumsum per source), same windowed pack stats.

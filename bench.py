@@ -46,6 +46,7 @@ HEADLINE = [
     "seen_anti_join",
     "politeness_topk",
     "host_budget",
+    "adaptive_politeness",
     "frontier_union",
     "pricing_summary",
     "lineitem_stats_by_flag",

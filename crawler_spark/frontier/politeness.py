@@ -361,3 +361,73 @@ def rank_weighted_budgets(
         F.col(node_col),
         F.greatest(F.lit(min_budget), F.floor(alloc).cast("int")).alias("budget"),
     )
+
+
+def adaptive_politeness(
+    fetch_log: DataFrame,
+    host_col: str = "host",
+    ts_col: str = "ts",
+    latency_col: str = "latency_ms",
+    alpha: float = 0.25,
+    k: float = 4.0,
+    min_delay_ms: int = 100,
+) -> DataFrame:
+    """Latency-adaptive per-host crawl delay (the Heritrix
+    "adaptive politeness" family): ``delay = max(min_delay,
+    floor(k · EWMA(latency)))`` with the EWMA folded over each host's
+    fetch history in ``(ts, latency)`` order — a slow server backs the
+    crawler off automatically, a fast one is revisited sooner. This is
+    the MEASURED-latency complement to ``budgets_from_crawl_delay``
+    (the host's DECLARED crawl-delay) exactly as ``change_rate_priority``
+    complements the sitemap's declared cadence.
+
+    Output: ``(host, n_obs, ewma_latency, delay_ms)``.
+
+    The per-host recurrence ``ewma ← round8(α·x + (1-α)·ewma)``
+    (seeded with the first observation) is inherently sequential, so it
+    runs as an in-row JVM ``aggregate`` fold over the host's collected
+    history — ONE host-keyed exchange with map-side partial
+    ``collect_list``, no window, no UDF. History length is bounded by
+    the per-round politeness cap (a host contributes at most its fetch
+    budget per round), so the collected arrays are small by
+    construction at any corpus scale.
+
+    ``round8`` here is NOT the engine ``round(…, 8)``: DuckDB's double
+    round computes the last digit differently from the JVM's on ~1% of
+    values (measured — one mid-fold ulp then propagates to the end of
+    the chain), so the per-step rounding is written as
+    ``floor(x·1e8 + 0.5) / 1e8`` — multiply, add, floor, divide are all
+    individually correctly-rounded IEEE ops, hence bit-identical in any
+    engine. The fold is replayed by DuckDB ``list_reduce`` over the
+    same ordered list; the delay floor is explicit per the cross-engine
+    cast rule.
+    """
+
+    def _round8(c: Column) -> Column:
+        return F.floor(c * F.lit(1e8) + F.lit(0.5)).cast("double") / F.lit(1e8)
+
+    obs = fetch_log.select(
+        F.col(host_col).alias("host"),
+        F.struct(
+            F.col(ts_col).alias("ts"), F.col(latency_col).alias("lat")
+        ).alias("o"),
+    )
+    hist = obs.groupBy("host").agg(
+        F.sort_array(F.collect_list("o")).alias("h")
+    )
+    ew = F.aggregate(
+        F.slice(F.col("h"), 2, F.size("h")),
+        F.element_at(F.col("h"), 1).getField("lat").cast("double"),
+        lambda acc, x: _round8(
+            F.lit(alpha) * x.getField("lat") + F.lit(1.0 - alpha) * acc
+        ),
+    )
+    return hist.select(
+        "host",
+        F.size("h").cast("long").alias("n_obs"),
+        ew.alias("ewma_latency"),
+        F.greatest(
+            F.lit(min_delay_ms).cast("long"),
+            F.floor(F.lit(k) * ew).cast("long"),
+        ).alias("delay_ms"),
+    )

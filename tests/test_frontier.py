@@ -640,3 +640,34 @@ def test_change_rate_priority_estimator_and_truncation(spark):
     assert (b["n_obs"], b["n_changes"], b["change_ratio"]) == (1, 0, round(1 / 3, 6))
     c = out["c"]
     assert (c["n_obs"], c["n_changes"]) == (2, 1)
+
+
+def test_adaptive_politeness_ewma_fold_and_floor(spark):
+    from crawler_spark.frontier.politeness import adaptive_politeness
+
+    rows = [
+        # host a: latencies 100, 200, 60 in ts order
+        ("a", "2024-01-01 00:00:00", 100.0),
+        ("a", "2024-01-01 00:01:00", 200.0),
+        ("a", "2024-01-01 00:02:00", 60.0),
+        # host b: single fast observation -> min-delay floor kicks in
+        ("b", "2024-01-01 00:00:30", 10.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "host string, ts string, latency_ms double"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = {r["host"]: r for r in adaptive_politeness(df).collect()}
+
+    def r8(x):
+        import math
+        return math.floor(x * 1e8 + 0.5) / 1e8
+
+    ew = 100.0
+    for x in (200.0, 60.0):
+        ew = r8(0.25 * x + 0.75 * ew)
+    a = out["a"]
+    assert (a["n_obs"], a["ewma_latency"]) == (3, ew)
+    assert a["delay_ms"] == int(4.0 * ew)  # 4x EWMA, above the 100ms floor
+    b = out["b"]
+    assert (b["n_obs"], b["ewma_latency"]) == (1, 10.0)
+    assert b["delay_ms"] == 100  # floor: 4*10 = 40 < min_delay
