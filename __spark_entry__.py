@@ -1946,6 +1946,25 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_containment_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded pair-level decontamination (r5): containment
+    |shared ∩ bench| / |bench| per (train, bench) pair — the directional
+    metric that catches a short benchmark item embedded verbatim in a
+    long training doc (tiny Jaccard, containment 1.0). Threshold is an
+    integer cross-multiplication, never a float boundary test
+    (pipeline/textstats.py::containment_decontaminate). Bench = the 5
+    smallest doc_ids, as in decontaminate."""
+    docs = _t(spark, sf_dir, "documents")
+    return ts.containment_decontaminate(
+        docs.filter(F.col("doc_id") >= 5),
+        docs.filter(F.col("doc_id") < 5),
+        "doc_id",
+        "text",
+        n=3,
+        threshold_pct=80,
+    )
+
+
 def q_purchase_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative graph algorithm, fully oracle-checked: 3 synchronous
     PageRank iterations over the customer→supplier purchase graph
@@ -2238,6 +2257,44 @@ def q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(t1)
     corrupted = docs.select("doc_id", t2.alias("text"))
     return ts.unicode_normalize(corrupted, "doc_id", "text")
+
+
+def q_registrable_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eTLD+1 registrable-domain extraction (r5): the unit real crawlers
+    budget politeness at — subdomain fan-out (www., cdn.media.) must
+    collapse onto one registrant, with longest-suffix-match so co.uk
+    beats uk (frontier/canon.py::registrable_domain_expr; the oracle
+    CASE chain is GENERATED from the same PUBLIC_SUFFIXES tuple). Hosts
+    synthesized from suppliers across 8 suffixes including one off-list
+    (.xyz) to exercise the last-two-labels fallback; n_host_siblings
+    counts hosts per registrable on one keyed exchange."""
+    from crawler_spark.frontier.canon import registrable_domain_expr
+
+    sup = _t(spark, sf_dir, "supplier")
+    prefix = (
+        F.when(F.pmod("s_suppkey", F.lit(3)) == 0, F.lit("www."))
+        .when(F.pmod("s_suppkey", F.lit(3)) == 1, F.lit("cdn.media."))
+        .otherwise(F.lit(""))
+    )
+    sfx = F.element_at(
+        F.array(*[F.lit(s) for s in _REG_DOMAIN_TEST_SUFFIXES]),
+        (F.pmod("s_suppkey", F.lit(8)) + 1).cast("int"),
+    )
+    hosts = sup.select(
+        F.concat(
+            prefix, F.lit("shop"), F.col("s_suppkey").cast("string"), F.lit("."), sfx
+        ).alias("host")
+    )
+    out = hosts.select("host", registrable_domain_expr(F.col("host")).alias("registrable"))
+    w = Window.partitionBy("registrable")
+    return out.select(
+        "host", "registrable", F.count(F.lit(1)).over(w).cast("long").alias("n_host_siblings")
+    )
+
+
+_REG_DOMAIN_TEST_SUFFIXES = (
+    "com", "co.uk", "com.au", "io", "de", "ne.jp", "xyz", "gov.uk"
+)
 
 
 def q_adaptive_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3748,6 +3805,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_graph_pagerank": q_purchase_graph_pagerank,
         "link_hits_scores": q_link_hits_scores,
         "decontaminate": q_decontaminate,
+        "containment_decontaminate": q_containment_decontaminate,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
@@ -3771,6 +3829,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_familiarity": q_corpus_familiarity,
         "unicode_normalize": q_unicode_normalize,
         "adaptive_politeness": q_adaptive_politeness,
+        "registrable_domains": q_registrable_domains,
         "curate_corpus": q_curate_corpus,
         "stratified_sample_docs": q_stratified_sample_docs,
         "balanced_sample_per_source": q_balanced_sample_per_source,
@@ -4116,6 +4175,38 @@ def _sql_pagerank(iters: int = 3, damping: float = 0.85) -> str:
         )
     parts.append(f" SELECT node, pr FROM r{iters}")
     return "".join(parts)
+
+
+def _sql_registrable_domains() -> str:
+    """SQL twin of q_registrable_domains with the suffix CASE chain
+    GENERATED from canon.PUBLIC_SUFFIXES — first match wins, multi-label
+    suffixes precede their parent TLDs, same last-two-labels fallback."""
+    from crawler_spark.frontier.canon import PUBLIC_SUFFIXES
+
+    arms = []
+    for sfx in PUBLIC_SUFFIXES:
+        pat = "([^.]+\\." + sfx.replace(".", "\\.") + ")$"
+        arms.append(
+            f"WHEN host LIKE '%.{sfx}' THEN regexp_extract(host, '{pat}', 1)"
+        )
+    case = (
+        "CASE " + " ".join(arms)
+        + " ELSE coalesce(nullif(regexp_extract(host,"
+        + " '([^.]+\\.[^.]+)$', 1), ''), host) END"
+    )
+    sfx_list = ", ".join(f"'{s}'" for s in _REG_DOMAIN_TEST_SUFFIXES)
+    return f"""
+WITH h AS (SELECT (CASE WHEN s_suppkey % 3 = 0 THEN 'www.'
+                        WHEN s_suppkey % 3 = 1 THEN 'cdn.media.'
+                        ELSE '' END)
+                  || 'shop' || s_suppkey || '.'
+                  || ([{sfx_list}])[(s_suppkey % 8) + 1] AS host
+           FROM supplier),
+r AS (SELECT host, {case} AS registrable FROM h)
+SELECT host, registrable,
+       CAST(count(*) OVER (PARTITION BY registrable) AS BIGINT)
+           AS n_host_siblings
+FROM r"""
 
 
 def _sql_hits(iters: int = 3) -> str:
@@ -5366,6 +5457,7 @@ FROM m""",
         "tfidf_top_terms": _sql_tfidf_top_terms(),
         "purchase_graph_pagerank": _sql_pagerank(),
         "link_hits_scores": _sql_hits(),
+        "registrable_domains": _sql_registrable_domains(),
         # r5: unigram-LM familiarity — integer-exact numerator/denominator,
         # one IEEE division; vocab join replayed on the exploded stream.
         "corpus_familiarity": f"""
@@ -5452,6 +5544,26 @@ SELECT source, doc_id, CAST(piece_idx AS BIGINT) AS piece_idx,
        CAST(sum(piece_tokens) OVER (PARTITION BY pack_id) AS DOUBLE) / 64
            AS pack_fill
 FROM pk""",
+        # r5: containment decontamination — distinct shingles per side,
+        # pair counts over the shingle equi-join, integer threshold.
+        "containment_decontaminate": f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+bg AS (SELECT DISTINCT doc_id AS bench_id,
+              unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+       FROM tk WHERE doc_id < 5 AND len(toks) >= 3),
+bs AS (SELECT bench_id, count(*) AS bench_size FROM bg GROUP BY bench_id),
+tg AS (SELECT doc_id,
+              unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+       FROM tk WHERE doc_id >= 5 AND len(toks) >= 3),
+p AS (SELECT tg.doc_id, bg.bench_id, count(*) AS n_shared
+      FROM tg JOIN bg USING (shingle) GROUP BY 1, 2)
+SELECT p.doc_id, p.bench_id, CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(bench_size AS BIGINT) AS bench_size,
+       CAST(n_shared AS DOUBLE) / CAST(bench_size AS DOUBLE) AS containment,
+       100 * n_shared >= 80 * bench_size AS contaminated
+FROM p JOIN bs USING (bench_id)""",
         "decontaminate": f"""
 WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 bg AS (SELECT DISTINCT unnest(list_transform(range(1, len(toks) - 1),

@@ -47,6 +47,7 @@ HEADLINE = [
     "politeness_topk",
     "host_budget",
     "adaptive_politeness",
+    "registrable_domains",
     "frontier_union",
     "pricing_summary",
     "lineitem_stats_by_flag",
@@ -87,6 +88,7 @@ HEADLINE = [
     "sequence_pack",
     "unicode_normalize",
     "decontaminate",
+    "containment_decontaminate",
     "quality_by_source",
     "json_props_rollup",
     "latest_event_per_user",

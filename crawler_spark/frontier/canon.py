@@ -612,3 +612,46 @@ def url_template_stats(
         .filter(F.col("n_urls") >= 2)
         .select("host", "template", "n_urls", "host_share", "is_trap")
     )
+
+
+# Public-suffix subset (from the Mozilla Public Suffix List — the
+# longest-match RULE is what the operator implements; a production run
+# swaps in the full ~9k-entry list, which still broadcasts trivially).
+# Multi-label suffixes must precede their parent TLDs for longest-match.
+PUBLIC_SUFFIXES: tuple[str, ...] = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "net.br",
+    "co.in", "ac.in",
+    "com", "org", "net", "io", "dev", "gov", "edu", "info",
+    "uk", "au", "jp", "br", "in", "de", "fr",
+)
+
+
+def registrable_domain_expr(host_col: Column) -> Column:
+    """eTLD+1 registrable domain of a hostname — the unit real crawlers
+    budget politeness at (``www.shop.example.co.uk`` and
+    ``cdn.example.co.uk`` are ONE crawl target, ``example.co.uk``, not
+    two; hostname-level budgets let a single registrant dodge its cap
+    with subdomain fan-out).
+
+    Longest-suffix-match over :data:`PUBLIC_SUFFIXES`: the first
+    when-arm that matches wins, and the tuple orders multi-label
+    suffixes before their parent TLDs, so ``a.b.co.uk`` resolves via
+    ``co.uk`` (→ ``b.co.uk``), never plain ``uk``. Hosts matching no
+    suffix fall back to their last two labels, bare single-label hosts
+    to themselves. Pure JVM ``endswith``/``regexp_extract`` chain —
+    whole-stage codegen, zero shuffle, and the suffix list is a
+    compile-time literal (no join against a suffix table needed at this
+    list size).
+    """
+    expr = F.regexp_extract(host_col, r"([^.]+\.[^.]+)$", 1)
+    expr = F.when(expr == "", host_col).otherwise(expr)  # single-label host
+    for sfx in reversed(PUBLIC_SUFFIXES):
+        pat = r"([^.]+\." + sfx.replace(".", r"\.") + r")$"
+        expr = F.when(
+            host_col.endswith("." + sfx),
+            F.regexp_extract(host_col, pat, 1),
+        ).otherwise(expr)
+    return expr

@@ -545,3 +545,73 @@ def unicode_normalize(df, id_col: str, text_col: str):
             "clean_text",
         )
     )
+
+
+def containment_decontaminate(
+    train,
+    bench,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold_pct: int = 80,
+):
+    """Containment-based eval-set decontamination: for every
+    (train doc, benchmark doc) pair sharing at least one distinct word
+    ``n``-gram, report ``containment = |shared| / |bench shingles|`` and
+    flag pairs at or above ``threshold_pct``. Containment (not Jaccard)
+    is the right directional metric here — a short benchmark item fully
+    embedded in a long training document has tiny Jaccard but
+    containment 1.0, and embedded-verbatim is exactly the contamination
+    mode that inflates eval scores (the any-shared-gram variant is
+    :func:`q_decontaminate`'s flag; this is the graded pair-level tier).
+
+    Output: ``(id, bench_id, n_shared, bench_size, containment,
+    contaminated)``.
+
+    Determinism: ``n_shared`` and ``bench_size`` are exact ints;
+    ``containment`` is ONE IEEE division; the THRESHOLD compare is the
+    integer cross-multiplication ``100·n_shared ≥ threshold_pct·
+    bench_size`` — no float ever reaches a boundary test (the
+    DECIMAL-before-compare rule, integer edition).
+
+    Shape at 100 TB: the benchmark suite is small by definition → its
+    distinct (bench_id, shingle) frame BROADCASTS into an equi-join on
+    the exploded train shingles (never a fact-sized shuffle on the gram
+    key); the only exchange is the (train, bench)-pair count with
+    map-side partial aggregation, and pair cardinality is bounded by
+    hits against the tiny benchmark set, not by corpus size.
+    """
+    from crawler_spark.pipeline.dedup import shingles_expr
+
+    bench_grams = bench.select(
+        F.col(id_col).alias("bench_id"),
+        F.explode(F.array_distinct(shingles_expr(F.col(text_col), n))).alias(
+            "shingle"
+        ),
+    ).distinct()
+    bench_sizes = bench_grams.groupBy("bench_id").agg(
+        F.count(F.lit(1)).alias("bench_size")
+    )
+    train_grams = train.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles_expr(F.col(text_col), n))).alias(
+            "shingle"
+        ),
+    )
+    pairs = (
+        train_grams.join(F.broadcast(bench_grams), "shingle")
+        .groupBy(id_col, "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return pairs.join(F.broadcast(bench_sizes), "bench_id").select(
+        F.col(id_col),
+        "bench_id",
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.col("bench_size").cast("long").alias("bench_size"),
+        (F.col("n_shared").cast("double") / F.col("bench_size").cast("double")).alias(
+            "containment"
+        ),
+        (
+            F.lit(100) * F.col("n_shared") >= F.lit(threshold_pct) * F.col("bench_size")
+        ).alias("contaminated"),
+    )

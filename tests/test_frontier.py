@@ -671,3 +671,26 @@ def test_adaptive_politeness_ewma_fold_and_floor(spark):
     b = out["b"]
     assert (b["n_obs"], b["ewma_latency"]) == (1, 10.0)
     assert b["delay_ms"] == 100  # floor: 4*10 = 40 < min_delay
+
+
+def test_registrable_domain_longest_suffix_and_fallback(spark):
+    from crawler_spark.frontier.canon import registrable_domain_expr
+
+    cases = [
+        ("www.example.co.uk", "example.co.uk"),   # multi-label beats uk
+        ("cdn.media.shop.com.au", "shop.com.au"),
+        ("a.b.c.example.com", "example.com"),
+        ("example.de", "example.de"),
+        ("deep.sub.example.xyz", "example.xyz"),  # off-list: last two labels
+        ("localhost", "localhost"),               # single label: itself
+        ("co.uk", "co.uk"),                       # bare suffix: via uk arm
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], ["host"])
+    got = {
+        r["host"]: r["reg"]
+        for r in df.select(
+            "host", registrable_domain_expr(F.col("host")).alias("reg")
+        ).collect()
+    }
+    for host, want in cases:
+        assert got[host] == want, (host, got[host], want)

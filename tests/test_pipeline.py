@@ -1496,3 +1496,32 @@ def test_unicode_normalize_nfc_ctrl_and_whitespace(spark):
     assert got[2] == (0, True, "ragged spaces")
     assert got[3] == (0, False, "plain ascii")
     assert got[4] == (0, False, "")
+
+
+def test_containment_decontaminate_embedded_benchmark(spark):
+    """A benchmark item fully embedded in a long train doc must hit
+    containment 1.0 even though Jaccard is tiny."""
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox")], ["doc_id", "text"]
+    )
+    long_filler = " ".join(f"w{i}" for i in range(40))
+    train = spark.createDataFrame(
+        [
+            (10, long_filler + " the quick brown fox " + long_filler),
+            (11, "quick brown fox jumps high today"),  # partial overlap
+            (12, "nothing in common here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in ts.containment_decontaminate(
+            train, bench, "doc_id", "text", n=3, threshold_pct=80
+        ).collect()
+    }
+    # bench has 2 distinct 3-grams; doc 10 contains both
+    assert (out[10]["n_shared"], out[10]["bench_size"]) == (2, 2)
+    assert out[10]["containment"] == 1.0 and out[10]["contaminated"]
+    # doc 11 shares only "quick brown fox" -> 1/2, below 80%
+    assert (out[11]["n_shared"], out[11]["contaminated"]) == (1, False)
+    assert 12 not in out  # no shared gram -> no pair row at all
