@@ -1946,6 +1946,47 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trustrank_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank (r5, Gyöngyi et al. 2004): PageRank with teleport mass
+    restricted to a trusted seed set (custkeys < 10) over the same
+    purchase graph — trust decays outward, link-farm clusters get
+    near-zero trust and the frontier demotes them. Same chained-CTE
+    oracle unroll as pagerank (pipeline/graph.py::trustrank)."""
+    from crawler_spark.pipeline.graph import trustrank
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("l_suppkey") + F.lit(1_000_000)).alias("dst"),
+    )
+    seeds = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 10)
+        .select(F.col("c_custkey").alias("node"))
+    )
+    return trustrank(edges, seeds, iters=3, small_ranks=True).withColumnRenamed(
+        "rank", "trust"
+    )
+
+
+def q_link_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link reciprocity (r5, the link-exchange/link-farm signal): per
+    node, the fraction of distinct out-edges that come back. Edge set
+    synthesized from events (user_id → event_id mod 150, self-loops
+    dropped) so both reciprocated and one-way edges exist. Semi-join on
+    the reversed edge key — co-partitionable, never node×node
+    (pipeline/graph.py::link_reciprocity)."""
+    from crawler_spark.pipeline.graph import link_reciprocity
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        F.col("user_id").alias("src"),
+        F.pmod("event_id", F.lit(150)).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return link_reciprocity(edges, min_out=2)
+
+
 def q_containment_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graded pair-level decontamination (r5): containment
     |shared ∩ bench| / |bench| per (train, bench) pair — the directional
@@ -3806,6 +3847,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_hits_scores": q_link_hits_scores,
         "decontaminate": q_decontaminate,
         "containment_decontaminate": q_containment_decontaminate,
+        "trustrank_scores": q_trustrank_scores,
+        "link_reciprocity": q_link_reciprocity,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
@@ -4242,6 +4285,32 @@ def _sql_hits(iters: int = 3) -> str:
         f" SELECT n.node, h.hub, a.authority FROM nodes n "
         f"JOIN h{iters} h USING (node) JOIN a{iters} a USING (node)"
     )
+    return "".join(parts)
+
+
+def _sql_trustrank(iters: int = 3, damping: float = 0.85) -> str:
+    """SQL twin of ``graph.trustrank``: pagerank's CTE chain with the
+    teleport mass gated on the seed indicator (custkeys < 10)."""
+    base = (
+        "WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), "
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), "
+        "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src), "
+        "sd AS (SELECT node, CASE WHEN node < 10 THEN 1.0::DOUBLE "
+        "ELSE 0.0::DOUBLE END AS seed FROM nodes), "
+        "r0 AS (SELECT node, seed AS trust FROM sd)"
+    )
+    parts = [base]
+    for t in range(1, iters + 1):
+        parts.append(
+            f", c{t} AS (SELECT e.dst AS node, sum(r.trust / d.deg) AS inflow "
+            f"FROM e JOIN deg d USING (src) JOIN r{t-1} r ON r.node = e.src "
+            "GROUP BY e.dst)"
+            f", r{t} AS (SELECT s.node, round({1.0 - damping} * s.seed + "
+            f"{damping} * coalesce(c.inflow, 0.0), 8) AS trust "
+            f"FROM sd s LEFT JOIN c{t} c USING (node))"
+        )
+    parts.append(f" SELECT node, trust FROM r{iters}")
     return "".join(parts)
 
 
@@ -5458,6 +5527,22 @@ FROM m""",
         "purchase_graph_pagerank": _sql_pagerank(),
         "link_hits_scores": _sql_hits(),
         "registrable_domains": _sql_registrable_domains(),
+        "trustrank_scores": _sql_trustrank(),
+        # r5: link reciprocity — distinct synthesized edges, reversed-key
+        # semi-join, min_out gate, one int division.
+        "link_reciprocity": """
+WITH e AS (SELECT DISTINCT user_id AS src, event_id % 150 AS dst
+           FROM events WHERE user_id != event_id % 150),
+r AS (SELECT e.src, count(*) AS n_reciprocal
+      FROM e WHERE EXISTS (SELECT 1 FROM e e2
+                           WHERE e2.src = e.dst AND e2.dst = e.src)
+      GROUP BY e.src),
+o AS (SELECT src, count(*) AS n_out FROM e GROUP BY src)
+SELECT o.src AS node, CAST(n_out AS BIGINT) AS n_out,
+       CAST(coalesce(n_reciprocal, 0) AS BIGINT) AS n_reciprocal,
+       CAST(coalesce(n_reciprocal, 0) AS DOUBLE) / CAST(n_out AS DOUBLE)
+           AS reciprocity
+FROM o LEFT JOIN r USING (src) WHERE n_out >= 2""",
         # r5: unigram-LM familiarity — integer-exact numerator/denominator,
         # one IEEE division; vocab join replayed on the exploded stream.
         "corpus_familiarity": f"""

@@ -84,6 +84,8 @@ HEADLINE = [
     "recrawl_changes",
     "purchase_graph_pagerank",
     "link_hits_scores",
+    "trustrank_scores",
+    "link_reciprocity",
     "corpus_familiarity",
     "sequence_pack",
     "unicode_normalize",

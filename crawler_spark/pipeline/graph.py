@@ -202,3 +202,112 @@ def hits(
     return nodes.join(hubs, "node").join(auths, "node").select(
         "node", "hub", "authority"
     )
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+    iters: int = 3,
+    damping: float = 0.85,
+    small_ranks: bool = False,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """TrustRank (Gyöngyi et al. 2004): PageRank with the teleport mass
+    restricted to a hand-vetted trusted seed set — trust decays outward
+    along links, so link-farm clusters that inflate plain PageRank get
+    near-zero trust and the frontier can demote or budget-cap them. The
+    crawl-side complement to :func:`pagerank`'s authority signal.
+
+    ``rank_0 = seed(v)``; ``rank_{t+1}(v) = (1-d)·seed(v) + d·Σ_{u→v}
+    rank_t(u)/outdeg(u)``, rounded 8 d.p. per iteration, where
+    ``seed(v) = 1.0`` for seed nodes else ``0.0`` (the unnormalized
+    indicator — orderings match the 1/|S| textbook form, which is one
+    multiply away). Same determinism contract, lineage cuts, and
+    ONE-shuffle-per-iteration shape as :func:`pagerank`; the seed frame
+    joins once up front (broadcast — a vetted seed list is tiny by
+    construction).
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct().persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    seed_ind = nodes.join(
+        F.broadcast(seeds.select(F.col(seed_col).alias("node")).distinct()
+                    .withColumn("_s", F.lit(1.0))),
+        "node",
+        "left",
+    ).select("node", F.coalesce("_s", F.lit(0.0)).alias("seed")).persist()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = e.join(outdeg, "src").persist()
+    ranks = seed_ind.select("node", F.col("seed").alias("rank"))
+    maybe_bcast = F.broadcast if small_ranks else (lambda df: df)
+    for t in range(1, iters + 1):
+        contrib = (
+            ed.join(maybe_bcast(ranks.withColumnRenamed("node", "src")), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("inflow"))
+        )
+        ranks = seed_ind.join(maybe_bcast(contrib), "node", "left").select(
+            "node",
+            F.round(
+                F.lit(1.0 - damping) * F.col("seed")
+                + F.lit(damping) * F.coalesce("inflow", F.lit(0.0)),
+                8,
+            ).alias("rank"),
+        )
+        if t % checkpoint_every == 0 and t < iters:
+            ranks = ranks.localCheckpoint()
+    return ranks
+
+
+def link_reciprocity(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    min_out: int = 2,
+) -> DataFrame:
+    """Per-source link reciprocity — the classic link-exchange/link-farm
+    signal: for each node with ``outdeg ≥ min_out``, the fraction of its
+    distinct out-edges that are reciprocated (``u→v`` and ``v→u``).
+    Organic link graphs are strongly asymmetric; a cluster where most
+    edges come back is trading links, and the frontier can demote it
+    (or hand it to :func:`trustrank` as a distrust candidate).
+
+    Output: ``(node, n_out, n_reciprocal, reciprocity)`` — counts exact
+    ints, the ratio ONE IEEE division.
+
+    Shape: distinct edges self-joined on the REVERSED key — an
+    equi-join on (src, dst) = (dst, src), co-partitionable, never a
+    node×node blowup (the match key is the full edge pair, so skew on a
+    popular node never forms pairs across its edges) — then one
+    src-keyed count with map-side combine.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct().persist()
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"], "left_semi").groupBy("src").agg(
+        F.count(F.lit(1)).alias("n_reciprocal")
+    )
+    out = e.groupBy("src").agg(F.count(F.lit(1)).alias("n_out"))
+    return (
+        out.filter(F.col("n_out") >= min_out)
+        .join(recip, "src", "left")
+        .select(
+            F.col("src").alias("node"),
+            F.col("n_out").cast("long").alias("n_out"),
+            F.coalesce("n_reciprocal", F.lit(0)).cast("long").alias("n_reciprocal"),
+            (
+                F.coalesce("n_reciprocal", F.lit(0)).cast("double")
+                / F.col("n_out").cast("double")
+            ).alias("reciprocity"),
+        )
+    )

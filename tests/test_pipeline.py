@@ -1525,3 +1525,45 @@ def test_containment_decontaminate_embedded_benchmark(spark):
     # doc 11 shares only "quick brown fox" -> 1/2, below 80%
     assert (out[11]["n_shared"], out[11]["contaminated"]) == (1, False)
     assert 12 not in out  # no shared gram -> no pair row at all
+
+
+def test_trustrank_seed_gated_teleport(spark):
+    """Trust only enters at seeds and decays along links; unreachable
+    nodes score 0. Python replay of the same contract."""
+    from crawler_spark.pipeline.graph import trustrank
+
+    edges = [(1, 2), (2, 3), (4, 3), (3, 4)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    got = {
+        r["node"]: r["rank"]
+        for r in trustrank(df, seeds, iters=3, small_ranks=True).collect()
+    }
+
+    nodes = sorted({n for e in edges for n in e})
+    outdeg = {n: sum(1 for s, _ in edges if s == n) for n in nodes}
+    seed = {n: 1.0 if n == 1 else 0.0 for n in nodes}
+    trust = dict(seed)
+    for _ in range(3):
+        inflow = {n: sum(trust[s] / outdeg[s] for s, d in edges if d == n)
+                  for n in nodes}
+        trust = {n: round(0.15 * seed[n] + 0.85 * inflow[n], 8) for n in nodes}
+    assert got == trust
+    # node 1 has no in-links: pure teleport mass; everything reachable
+    # from the seed carries strictly positive trust
+    assert got[1] == 0.15
+    assert all(got[n] > 0 for n in (2, 3, 4))
+
+
+def test_link_reciprocity_hand_graph(spark):
+    from crawler_spark.pipeline.graph import link_reciprocity
+
+    edges = [("a", "b"), ("b", "a"), ("a", "c"), ("b", "c"), ("c", "b")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r for r in link_reciprocity(df, min_out=2).collect()}
+    # a: out {b,c}, b comes back -> 1/2; b: out {a,c}, both come back -> 1
+    assert (got["a"]["n_out"], got["a"]["n_reciprocal"]) == (2, 1)
+    assert got["a"]["reciprocity"] == 0.5
+    assert (got["b"]["n_out"], got["b"]["n_reciprocal"]) == (2, 2)
+    assert got["b"]["reciprocity"] == 1.0
+    assert "c" not in got  # only 1 out-edge, below min_out
