@@ -2185,6 +2185,24 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compaction_plan(files, target_bytes=1_000_000)
 
 
+def q_snapshot_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot retention planner (r5, the expire_snapshots maintenance
+    pass beside compaction_plan): keep the 20 newest checkpoints plus
+    each day's newest within a trailing 180-day window, expire the
+    rest. Snapshot metadata synthesized from orders (every 97th key;
+    ts = o_orderdate). Global rank is a SinglePartition window over
+    METADATA — O(rounds) rows, documented in
+    sinks.py::snapshot_retention_plan."""
+    from crawler_spark.sinks import snapshot_retention_plan
+
+    orders = _t(spark, sf_dir, "orders")
+    snaps = orders.filter(F.pmod("o_orderkey", F.lit(97)) == 0).select(
+        F.col("o_orderkey").alias("snapshot_id"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    return snapshot_retention_plan(snaps)
+
+
 def q_host_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mirror-host detection (r5): hosts sharing ≥2 exact content
     fingerprints with overlap ≥ half the smaller catalog are mirror
@@ -3831,6 +3849,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunk_dedup": q_cdc_chunk_dedup,
         "host_mirrors": q_host_mirrors,
         "compaction_plan": q_compaction_plan,
+        "snapshot_retention": q_snapshot_retention,
         "sequence_pack": q_sequence_pack,
         "source_quality_budget": q_source_quality_budget,
         "boilerplate_strip": q_boilerplate_strip,
@@ -5442,6 +5461,22 @@ FROM t LEFT JOIN kept k ON k.doc_id = t.doc_id
 GROUP BY t.doc_id, t.n""",
         # r5: compaction plan — same (size desc, path) pack order,
         # explicit floor of the IEEE division, cumsum excludes self.
+        # r5: snapshot retention — same (ts desc, id desc) tiebreak, same
+        # trailing-window date arithmetic, daily rank partitioned by day.
+        "snapshot_retention": """
+WITH s AS (SELECT o_orderkey AS snapshot_id, o_orderdate AS ts
+           FROM orders WHERE o_orderkey % 97 = 0),
+w AS (SELECT snapshot_id, ts,
+             row_number() OVER (ORDER BY ts DESC, snapshot_id DESC) AS rn,
+             row_number() OVER (PARTITION BY CAST(ts AS DATE)
+                                ORDER BY ts DESC, snapshot_id DESC) AS day_rn,
+             CAST(ts AS DATE) AS day
+      FROM s)
+SELECT snapshot_id, ts, CAST(rn AS BIGINT) AS rn,
+       rn <= 20 AS is_recent_keeper,
+       (day_rn = 1 AND day > DATE '2001-07-31' - 180) AS is_daily_keeper,
+       (rn <= 20 OR (day_rn = 1 AND day > DATE '2001-07-31' - 180)) AS keep
+FROM w""",
         "compaction_plan": """
 WITH f AS (
   SELECT 'p' || (o_orderkey % 8) AS partition,

@@ -113,3 +113,50 @@ def compaction_plan(
         group.alias("group_id"),
         n_groups.cast("long").alias("n_groups"),
     )
+
+
+def snapshot_retention_plan(
+    snapshots: DataFrame,
+    id_col: str = "snapshot_id",
+    ts_col: str = "ts",
+    keep_last: int = 20,
+    keep_daily_days: int = 180,
+    now: str = "2001-07-31",
+) -> DataFrame:
+    """Snapshot retention planner (r5) — the ``expire_snapshots``
+    maintenance pass beside :func:`compaction_plan`'s
+    ``rewrite_data_files``: a long crawl checkpoints every round, and
+    snapshot metadata (plus the data files only old snapshots pin)
+    grows without bound until someone expires. Retention rule, the
+    GFS-rotation shape real tables use: KEEP the ``keep_last`` newest
+    snapshots (time-travel window), plus each calendar day's newest
+    snapshot for the trailing ``keep_daily_days`` (daily restore
+    points); everything else is expirable.
+
+    Output: one row per snapshot — ``(id, ts, rn, is_recent_keeper,
+    is_daily_keeper, keep)``, ordering/ranks fully tie-broken by
+    ``(ts desc, id desc)``.
+
+    Scale note: the global rank is a SinglePartition window — correct
+    HERE because snapshot metadata is O(crawl rounds), thousands of
+    rows for a year-long crawl, not data-sized; the same op over a
+    data-scale frame would need the top-k/window-group-limit shapes
+    used elsewhere. The daily rank partitions by day and shares the
+    same sort order.
+    """
+    day = F.col(ts_col).cast("date")
+    w_global = Window.orderBy(F.col(ts_col).desc(), F.col(id_col).desc())
+    w_day = Window.partitionBy(day).orderBy(
+        F.col(ts_col).desc(), F.col(id_col).desc()
+    )
+    cutoff = F.date_sub(F.lit(now).cast("date"), keep_daily_days)
+    rn = F.row_number().over(w_global)
+    day_rn = F.row_number().over(w_day)
+    return snapshots.select(
+        F.col(id_col),
+        F.col(ts_col),
+        rn.cast("long").alias("rn"),
+        (rn <= keep_last).alias("is_recent_keeper"),
+        ((day_rn == 1) & (day > cutoff)).alias("is_daily_keeper"),
+        ((rn <= keep_last) | ((day_rn == 1) & (day > cutoff))).alias("keep"),
+    )

@@ -121,3 +121,33 @@ def test_compaction_plan_next_fit_groups_and_one_exchange(spark):
     # B: b1 packs first (path tiebreak): cum-before 0,60 → both group 0
     assert got["b1"] == (0, 1) and got["b2"] == (0, 1)
     assert got["c1"] == (0, 1)
+
+
+def test_snapshot_retention_keep_last_and_daily(spark):
+    from pyspark.sql import functions as F
+
+    from crawler_spark.sinks import snapshot_retention_plan
+
+    # 3 snapshots on the newest day, then one per day going back
+    rows = [(i, f"2001-07-{30-i:02d} 12:00:00") for i in range(10)]
+    rows += [(100, "2001-07-30 13:00:00"), (101, "2001-07-30 14:00:00")]
+    rows += [(200, "1995-01-01 00:00:00")]  # ancient: expired
+    df = spark.createDataFrame(rows, ["snapshot_id", "ts"]).withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+    out = {
+        r["snapshot_id"]: r
+        for r in snapshot_retention_plan(
+            df, keep_last=5, keep_daily_days=180, now="2001-07-31"
+        ).collect()
+    }
+    # global rank: 101 newest, then 100, then 0 (all 2001-07-30), then 1...
+    assert out[101]["rn"] == 1 and out[101]["keep"]
+    assert out[101]["is_daily_keeper"]  # newest of its day
+    assert not out[100]["is_daily_keeper"]  # same day, older
+    assert out[100]["keep"]  # but inside keep_last=5
+    # rank 6+ survive only via daily-keeper within the window
+    assert out[4]["rn"] == 7 and not out[4]["is_recent_keeper"]
+    assert out[4]["is_daily_keeper"] and out[4]["keep"]
+    # ancient snapshot: outside window, not recent -> expired
+    assert not out[200]["keep"]
