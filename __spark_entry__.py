@@ -1987,6 +1987,71 @@ def q_link_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_reciprocity(edges, min_out=2)
 
 
+def q_crawl_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS crawl depth (r5): shortest-hop distance from the seed set
+    over the events-derived user graph (the same edge synthesis as
+    link_reciprocity), 3 synchronous min-propagation rounds — the depth
+    cap real schedulers enforce, and the module's one all-INTEGER
+    iterative op (no float contract at all). Unreached within the cap
+    reports -1 (pipeline/graph.py::bfs_depth)."""
+    from crawler_spark.pipeline.graph import bfs_depth
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        F.col("user_id").alias("src"),
+        F.pmod("event_id", F.lit(150)).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    seeds = edges.select(F.col("src").alias("node")).filter(
+        F.col("node") < 5
+    ).distinct()
+    return bfs_depth(edges, seeds, max_depth=3, small_frontier=True)
+
+
+def q_referring_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referring-domain counts (r5): per target host, distinct backlink
+    hosts and distinct REGISTRABLE referring domains — the domain-
+    authority proxy, composing the link graph with
+    registrable_domain_expr so a registrant's subdomain fan-out counts
+    as ONE referrer. Host-pair edges synthesized from orders across the
+    same 8-suffix test set; one distinct + one dst-keyed agg."""
+    from crawler_spark.frontier.canon import registrable_domain_expr
+
+    orders = _t(spark, sf_dir, "orders")
+    sfx_of = lambda key: F.element_at(  # noqa: E731
+        F.array(*[F.lit(s) for s in _REG_DOMAIN_TEST_SUFFIXES]),
+        (F.pmod(key, F.lit(8)) + 1).cast("int"),
+    )
+    prefix = (
+        F.when(F.pmod("o_orderkey", F.lit(3)) == 0, F.lit("www."))
+        .when(F.pmod("o_orderkey", F.lit(3)) == 1, F.lit("blog."))
+        .otherwise(F.lit(""))
+    )
+    edges = orders.select(
+        F.concat(
+            prefix,
+            F.lit("shop"),
+            F.pmod("o_custkey", F.lit(40)).cast("string"),
+            F.lit("."),
+            sfx_of(F.col("o_custkey")),
+        ).alias("src_host"),
+        F.concat(
+            F.lit("site"),
+            F.pmod("o_orderkey", F.lit(20)).cast("string"),
+            F.lit(".com"),
+        ).alias("dst_host"),
+    ).distinct()
+    return (
+        edges.withColumn(
+            "ref_domain", registrable_domain_expr(F.col("src_host"))
+        )
+        .groupBy("dst_host")
+        .agg(
+            F.countDistinct("src_host").cast("long").alias("n_backlink_hosts"),
+            F.countDistinct("ref_domain").cast("long").alias("n_ref_domains"),
+        )
+    )
+
+
 def q_containment_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graded pair-level decontamination (r5): containment
     |shared ∩ bench| / |bench| per (train, bench) pair — the directional
@@ -3868,6 +3933,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_decontaminate": q_containment_decontaminate,
         "trustrank_scores": q_trustrank_scores,
         "link_reciprocity": q_link_reciprocity,
+        "crawl_depth": q_crawl_depth,
+        "referring_domains": q_referring_domains,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
@@ -4239,23 +4306,49 @@ def _sql_pagerank(iters: int = 3, damping: float = 0.85) -> str:
     return "".join(parts)
 
 
-def _sql_registrable_domains() -> str:
-    """SQL twin of q_registrable_domains with the suffix CASE chain
-    GENERATED from canon.PUBLIC_SUFFIXES — first match wins, multi-label
-    suffixes precede their parent TLDs, same last-two-labels fallback."""
+def _sql_registrable_case(col: str) -> str:
+    """The eTLD+1 CASE chain GENERATED from canon.PUBLIC_SUFFIXES for a
+    given column — first match wins, multi-label suffixes precede their
+    parent TLDs, last-two-labels fallback. Shared by the
+    registrable_domains and referring_domains twins."""
     from crawler_spark.frontier.canon import PUBLIC_SUFFIXES
 
     arms = []
     for sfx in PUBLIC_SUFFIXES:
         pat = "([^.]+\\." + sfx.replace(".", "\\.") + ")$"
         arms.append(
-            f"WHEN host LIKE '%.{sfx}' THEN regexp_extract(host, '{pat}', 1)"
+            f"WHEN {col} LIKE '%.{sfx}' THEN regexp_extract({col}, '{pat}', 1)"
         )
-    case = (
+    return (
         "CASE " + " ".join(arms)
-        + " ELSE coalesce(nullif(regexp_extract(host,"
-        + " '([^.]+\\.[^.]+)$', 1), ''), host) END"
+        + f" ELSE coalesce(nullif(regexp_extract({col},"
+        + f" '([^.]+\\.[^.]+)$', 1), ''), {col}) END"
     )
+
+
+def _sql_referring_domains() -> str:
+    """SQL twin of q_referring_domains: same host synthesis, the shared
+    registrable CASE chain applied to the referrer side."""
+    case = _sql_registrable_case("src_host")
+    sfx_list = ", ".join(f"'{s}'" for s in _REG_DOMAIN_TEST_SUFFIXES)
+    return f"""
+WITH edges AS (SELECT DISTINCT
+    (CASE WHEN o_orderkey % 3 = 0 THEN 'www.'
+          WHEN o_orderkey % 3 = 1 THEN 'blog.' ELSE '' END)
+      || 'shop' || (o_custkey % 40) || '.'
+      || ([{sfx_list}])[(o_custkey % 8) + 1] AS src_host,
+    'site' || (o_orderkey % 20) || '.com' AS dst_host
+  FROM orders),
+r AS (SELECT dst_host, src_host, {case} AS ref_domain FROM edges)
+SELECT dst_host, CAST(count(DISTINCT src_host) AS BIGINT) AS n_backlink_hosts,
+       CAST(count(DISTINCT ref_domain) AS BIGINT) AS n_ref_domains
+FROM r GROUP BY dst_host"""
+
+
+def _sql_registrable_domains() -> str:
+    """SQL twin of q_registrable_domains (CASE chain via
+    _sql_registrable_case)."""
+    case = _sql_registrable_case("host")
     sfx_list = ", ".join(f"'{s}'" for s in _REG_DOMAIN_TEST_SUFFIXES)
     return f"""
 WITH h AS (SELECT (CASE WHEN s_suppkey % 3 = 0 THEN 'www.'
@@ -4303,6 +4396,32 @@ def _sql_hits(iters: int = 3) -> str:
     parts.append(
         f" SELECT n.node, h.hub, a.authority FROM nodes n "
         f"JOIN h{iters} h USING (node) JOIN a{iters} a USING (node)"
+    )
+    return "".join(parts)
+
+
+def _sql_bfs_depth(max_depth: int = 3) -> str:
+    """SQL twin of ``graph.bfs_depth`` over the events user graph:
+    min-propagation rounds unrolled as chained CTEs, all integer."""
+    inf = 1 << 30
+    base = (
+        "WITH e AS (SELECT DISTINCT user_id AS src, event_id % 150 AS dst "
+        "FROM events WHERE user_id != event_id % 150), "
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), "
+        f"d0 AS (SELECT node, CASE WHEN node < 5 THEN 0 ELSE {inf} END AS d "
+        "FROM nodes)"
+    )
+    parts = [base]
+    for t in range(1, max_depth + 1):
+        parts.append(
+            f", r{t} AS (SELECT e.dst AS node, min(d.d) + 1 AS rd "
+            f"FROM e JOIN d{t-1} d ON d.node = e.src GROUP BY e.dst)"
+            f", d{t} AS (SELECT p.node, least(p.d, coalesce(r.rd, {inf})) AS d "
+            f"FROM d{t-1} p LEFT JOIN r{t} r USING (node))"
+        )
+    parts.append(
+        f" SELECT node, CAST(CASE WHEN d >= {inf} THEN -1 ELSE d END AS BIGINT)"
+        f" AS depth FROM d{max_depth}"
     )
     return "".join(parts)
 
@@ -5563,6 +5682,10 @@ FROM m""",
         "link_hits_scores": _sql_hits(),
         "registrable_domains": _sql_registrable_domains(),
         "trustrank_scores": _sql_trustrank(),
+        "crawl_depth": _sql_bfs_depth(),
+        # r5: referring domains — same host synthesis, same generated
+        # registrable CASE chain applied to the referrer side.
+        "referring_domains": _sql_referring_domains(),
         # r5: link reciprocity — distinct synthesized edges, reversed-key
         # semi-join, min_out gate, one int division.
         "link_reciprocity": """

@@ -86,6 +86,8 @@ HEADLINE = [
     "link_hits_scores",
     "trustrank_scores",
     "link_reciprocity",
+    "crawl_depth",
+    "referring_domains",
     "corpus_familiarity",
     "sequence_pack",
     "unicode_normalize",

@@ -1567,3 +1567,18 @@ def test_link_reciprocity_hand_graph(spark):
     assert (got["b"]["n_out"], got["b"]["n_reciprocal"]) == (2, 2)
     assert got["b"]["reciprocity"] == 1.0
     assert "c" not in got  # only 1 out-edge, below min_out
+
+
+def test_bfs_depth_rings_and_sentinel(spark):
+    from crawler_spark.pipeline.graph import bfs_depth
+
+    # 1 -> 2 -> 3 -> 4 -> 5 chain plus a shortcut 1 -> 3 and an island 9 -> 10
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 3), (9, 10)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    got = {
+        r["node"]: r["depth"]
+        for r in bfs_depth(df, seeds, max_depth=3, small_frontier=True).collect()
+    }
+    # shortcut wins: 3 is at depth 1, so 5 is reachable within the cap
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: 3, 9: -1, 10: -1}
