@@ -44,6 +44,7 @@ HEADLINE = [
     "rule_cut_first",
     "outlink_tokens",
     "seen_anti_join",
+    "strip_tracking_params",
     "politeness_topk",
     "host_budget",
     "adaptive_politeness",

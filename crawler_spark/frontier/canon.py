@@ -655,3 +655,47 @@ def registrable_domain_expr(host_col: Column) -> Column:
             F.regexp_extract(host_col, pat, 1),
         ).otherwise(expr)
     return expr
+
+
+# Tracking parameters every major crawler strips before dedup: the same
+# page arrives once per campaign link otherwise. utm_* is matched by
+# prefix; the rest are exact names (public, well-known lists).
+TRACKING_PARAMS: tuple[str, ...] = (
+    "fbclid", "gclid", "msclkid", "dclid", "yclid", "igshid",
+    "mc_cid", "mc_eid", "spm", "ref_src",
+)
+
+
+def strip_tracking_params_expr(url_col: Column) -> Column:
+    """Canonicalize away tracking query parameters and order-normalize
+    the rest: drop ``utm_*`` (prefix) and :data:`TRACKING_PARAMS`
+    (exact), sort surviving ``k=v`` pairs bytewise, rejoin. Two URLs
+    differing only in campaign tags or param order then hash to ONE
+    frontier entry — on real crawls this collapses a large slice of
+    duplicate fetches before any content-level dedup runs.
+
+    Pure built-in split/filter/array_sort/array_join — whole-stage
+    codegen, zero shuffle, rides the canonicalization scan. Bytewise
+    sort and ``split_part`` behave identically in DuckDB, so the twin
+    replays verbatim. Assumes fragment-free input (upstream
+    ``canon_expr`` already strips fragments).
+    """
+    qpos = F.instr(url_col, "?")
+    base = F.split_part(url_col, F.lit("?"), F.lit(1))
+    query = F.when(qpos > 0, F.substr(url_col, qpos + 1)).otherwise(F.lit(""))
+    params = F.filter(
+        F.split(query, "&", -1), lambda p: p != F.lit("")
+    )
+
+    def _keep(p: Column) -> Column:
+        name = F.split_part(p, F.lit("="), F.lit(1))
+        return ~(
+            name.startswith("utm_")
+            | name.isin(*TRACKING_PARAMS)
+        )
+
+    kept = F.array_sort(F.filter(params, _keep))
+    return F.when(
+        F.size(kept) > 0,
+        F.concat(base, F.lit("?"), F.array_join(kept, "&")),
+    ).otherwise(base)

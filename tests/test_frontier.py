@@ -694,3 +694,24 @@ def test_registrable_domain_longest_suffix_and_fallback(spark):
     }
     for host, want in cases:
         assert got[host] == want, (host, got[host], want)
+
+
+def test_strip_tracking_params_drop_sort_and_noquery(spark):
+    from crawler_spark.frontier.canon import strip_tracking_params_expr
+
+    cases = [
+        ("http://a.com/p?utm_source=x&id=1", "http://a.com/p?id=1"),
+        ("http://a.com/p?b=2&a=1&fbclid=z", "http://a.com/p?a=1&b=2"),
+        ("http://a.com/p?utm_a=1&utm_b=2", "http://a.com/p"),  # all dropped
+        ("http://a.com/p", "http://a.com/p"),                  # no query
+        ("http://a.com/p?flag&gclid=9", "http://a.com/p?flag"),  # bare param
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = {
+        r["url"]: r["c"]
+        for r in df.select(
+            "url", strip_tracking_params_expr(F.col("url")).alias("c")
+        ).collect()
+    }
+    for url, want in cases:
+        assert got[url] == want, (url, got[url], want)
