@@ -2279,6 +2279,14 @@ def q_host_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
     every 3rd doc (high-overlap → flagged) and ``partial-<src>`` hosts
     with a few shared docs diluted by unique content (evidence but low
     ratio → reported, not flagged) — both decision arms value-hashed."""
+    corpus = _mirror_corpus(spark, sf_dir)
+    return dd.host_mirrors(corpus, "host", "text", min_common=2, min_ratio=0.5)
+
+
+def _mirror_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic mirror/partial host corpus shared by
+    q_host_mirrors and q_mirror_clusters (see q_host_mirrors docstring
+    for the decision-arm design)."""
     docs = _t(spark, sf_dir, "documents")
     orig = docs.select(F.col("source").alias("host"), "text")
     mirror = docs.filter(F.pmod("doc_id", F.lit(3)) == 0).select(
@@ -2293,10 +2301,30 @@ def q_host_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text"
         ),
     )
-    corpus = orig.unionByName(mirror).unionByName(partial_shared).unionByName(
+    return orig.unionByName(mirror).unionByName(partial_shared).unionByName(
         partial_unique
     )
-    return dd.host_mirrors(corpus, "host", "text", min_common=2, min_ratio=0.5)
+
+
+def q_mirror_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-host CLUSTERS (r5): the host_mirrors pair detector fed
+    through connected components — detect → cluster → elect the
+    lexicographic-min canonical host, the full "fetch one copy, demote
+    the rest" pipeline ending. Same corpus synthesis as host_mirrors;
+    oracle wraps that query's SQL verbatim in a recursive closure
+    (pipeline/dedup.py::host_mirrors + connected_components)."""
+    corpus = _mirror_corpus(spark, sf_dir)
+    pairs = (
+        dd.host_mirrors(corpus, "host", "text", min_common=2, min_ratio=0.5)
+        .filter(F.col("is_mirror"))
+        .select("host_a", "host_b")
+    )
+    comps = dd.connected_components(pairs, "host_a", "host_b")
+    return comps.select(
+        F.col("node").alias("host"),
+        F.col("comp").alias("canonical_host"),
+        (F.col("node") == F.col("comp")).alias("is_canonical"),
+    )
 
 
 def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3958,6 +3986,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup_apply": q_substring_dedup_apply,
         "cdc_chunk_dedup": q_cdc_chunk_dedup,
         "host_mirrors": q_host_mirrors,
+        "mirror_clusters": q_mirror_clusters,
         "compaction_plan": q_compaction_plan,
         "snapshot_retention": q_snapshot_retention,
         "sequence_pack": q_sequence_pack,
@@ -4999,6 +5028,27 @@ _FP = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
 
 
 def oracle_sql() -> dict[str, str]:
+    cl = len(CUT_START)
+    d = _oracle_sql_base()
+    # mirror_clusters wraps the host_mirrors SQL verbatim (provably the
+    # same pair derivation) in a recursive transitive closure — the
+    # near_dup_clusters ending applied to mirror candidates.
+    d["mirror_clusters"] = (
+        "WITH RECURSIVE hm AS (" + d["host_mirrors"] + "), "
+        "dup AS (SELECT host_a, host_b FROM hm WHERE is_mirror), "
+        "edges AS (SELECT host_a AS u, host_b AS v FROM dup "
+        "UNION SELECT host_b, host_a FROM dup), "
+        "reach AS (SELECT u, v FROM edges "
+        "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), "
+        "comp AS (SELECT u AS host, LEAST(u, MIN(v)) AS canonical_host "
+        "FROM reach GROUP BY u) "
+        "SELECT host, canonical_host, host = canonical_host AS is_canonical "
+        "FROM comp"
+    )
+    return d
+
+
+def _oracle_sql_base() -> dict[str, str]:
     cl = len(CUT_START)
     return {
         "rule_regex_first": (
