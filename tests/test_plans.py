@@ -383,3 +383,87 @@ def test_inverted_postings_group_limit_and_broadcast_df(spark):
     plan = _plan(ts.inverted_postings(docs, "doc_id", "text", k=5))
     assert "WindowGroupLimit" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_sequence_pack_two_exchanges_no_udf(spark, sf001_dir):
+    """Sequence packing (r5): piece explosion must be IN-ROW (no UDF, no
+    exchange before the explode) and the whole op exactly TWO keyed
+    exchanges — the per-source cumsum window and the per-pack stats
+    window. A SinglePartition exchange anywhere would serialize the
+    corpus."""
+    from crawler_spark.pipeline.packing import sequence_pack
+
+    docs = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    out = sequence_pack(docs, "doc_id", "text", "source", budget=64)
+    simple = _plan(out, "simple")
+    assert simple.count("Exchange") == 2, simple
+    assert "SinglePartition" not in simple, simple
+    assert "EvalPython" not in simple, simple  # no Arrow/pandas UDF anywhere
+
+
+def test_containment_decontaminate_bench_broadcast_no_gram_shuffle(
+    spark, sf001_dir
+):
+    """Containment decontamination (r5): the benchmark shingle frame must
+    BROADCAST into the train-gram join — a shingle-keyed exchange of the
+    exploded train grams would be fact-sized at 100 TB. Exactly the
+    (train, bench)-pair aggregate may shuffle."""
+    from crawler_spark.pipeline import textstats as ts
+
+    docs = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    out = ts.containment_decontaminate(
+        docs.filter(F.col("doc_id") >= 5),
+        docs.filter(F.col("doc_id") < 5),
+        "doc_id",
+        "text",
+    )
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    simple = _plan(out, "simple")
+    assert "hashpartitioning(shingle" not in simple, simple
+
+
+def test_adaptive_politeness_single_host_exchange_no_window(spark, sf001_dir):
+    """Adaptive politeness (r5): ONE host-keyed exchange with map-side
+    partial collect_list; the EWMA fold is an in-row aggregate — no
+    Window, no second exchange, no UDF."""
+    from crawler_spark.frontier.politeness import adaptive_politeness
+
+    ev = spark.read.parquet(f"{sf001_dir}/events.parquet")
+    log = ev.select(
+        F.concat(F.lit("h"), F.pmod("user_id", F.lit(50)).cast("string")).alias(
+            "host"
+        ),
+        "ts",
+        F.col("value").alias("latency_ms"),
+    )
+    out = adaptive_politeness(log)
+    simple = _plan(out, "simple")
+    assert simple.count("Exchange") == 1, simple
+    assert "Window" not in simple, simple
+    assert "EvalPython" not in simple, simple
+
+
+def test_url_canon_expressions_are_map_only_codegen(spark, sf001_dir):
+    """registrable_domain_expr + strip_tracking_params_expr (r5) are pure
+    whole-stage-codegen expressions: NO exchange, NO Python evaluation —
+    they ride the canonicalization scan for free."""
+    from crawler_spark.frontier.canon import (
+        registrable_domain_expr,
+        strip_tracking_params_expr,
+    )
+
+    docs = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    out = docs.select(
+        registrable_domain_expr(F.col("source")).alias("reg"),
+        strip_tracking_params_expr(
+            F.concat(F.lit("http://h/p?utm_a=1&x="), F.col("doc_id").cast("string"))
+        ).alias("u"),
+    )
+    simple = _plan(out, "simple")
+    assert "Exchange" not in simple, simple
+    assert "EvalPython" not in simple, simple
+    # "*" prefixes whole-stage-codegen operators in simple mode
+    assert "*(" in simple, simple
