@@ -91,6 +91,7 @@ HEADLINE = [
     "referring_domains",
     "corpus_familiarity",
     "sequence_pack",
+    "passage_windows",
     "unicode_normalize",
     "decontaminate",
     "containment_decontaminate",

@@ -125,3 +125,56 @@ def sequence_pack(
             "pack_fill"
         ),
     )
+
+
+def passage_windows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int = 48,
+    stride: int = 24,
+) -> DataFrame:
+    """Sliding token windows with overlap — the RAG/eval-chunking
+    counterpart to :func:`sequence_pack`'s disjoint split: passage i
+    covers tokens ``[i·stride, i·stride + size)``, and the window count
+    ``1 + ceil(max(0, n - size) / stride)`` guarantees the final window
+    reaches the document tail (ragged, never dropped). Overlapping
+    windows keep answers that straddle a boundary retrievable, which is
+    why retrieval chunkers default to stride < size.
+
+    Output: ``(id, passage_idx, start_tok, n_pass_tokens,
+    passage_hash)`` — the hash is the portable md5h60 of the
+    space-joined window, so downstream dedup/retrieval joins on it
+    cross-engine.
+
+    Shape: everything is IN-ROW (tokenize once, explode a
+    ``sequence``, ``slice`` per window) — zero shuffles, zero UDFs; at
+    100 TB this rides the scan exactly like the fingerprint
+    expressions. The ceil is written over ``greatest(0, n-size)`` so
+    the integer division never sees a negative operand (Spark ``div``
+    truncates toward zero, DuckDB ``//`` floors — they disagree ONLY
+    below zero).
+    """
+    from crawler_spark.pipeline.dedup import md5h60
+    from crawler_spark.pipeline.textstats import tokens_expr
+
+    b, s = int(size), int(stride)
+    toks = df.select(
+        F.col(id_col), tokens_expr(F.col(text_col)).alias("_toks")
+    ).withColumn("_n", F.size("_toks")).filter(F.col("_n") >= 1)
+    nw = F.expr(f"1 + ((greatest(0, _n - {b}) + {s} - 1) div {s})")
+    exploded = toks.select(
+        id_col,
+        "_toks",
+        F.explode(F.sequence(F.lit(0), (nw - 1).cast("int"))).alias(
+            "passage_idx"
+        ),
+    )
+    win = F.slice(F.col("_toks"), F.col("passage_idx") * s + 1, b)
+    return exploded.select(
+        F.col(id_col),
+        F.col("passage_idx").cast("long").alias("passage_idx"),
+        (F.col("passage_idx") * s).cast("long").alias("start_tok"),
+        F.size(win).cast("long").alias("n_pass_tokens"),
+        md5h60(F.array_join(win, " ")).alias("passage_hash"),
+    )

@@ -1582,3 +1582,24 @@ def test_bfs_depth_rings_and_sentinel(spark):
     }
     # shortcut wins: 3 is at depth 1, so 5 is reachable within the cap
     assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: 3, 9: -1, 10: -1}
+
+
+def test_passage_windows_overlap_tail_and_hash(spark):
+    from crawler_spark.pipeline.packing import passage_windows
+
+    toks_a = [f"t{i}" for i in range(10)]  # 10 tokens, size 4 stride 2
+    rows = [(1, " ".join(toks_a)), (2, "one two"), (3, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = passage_windows(df, "doc_id", "text", size=4, stride=2).collect()
+    a = sorted(
+        [r for r in out if r["doc_id"] == 1], key=lambda r: r["passage_idx"]
+    )
+    # nw = 1 + ceil((10-4)/2) = 4 -> starts 0,2,4,6; last covers 6..9
+    assert [r["start_tok"] for r in a] == [0, 2, 4, 6]
+    assert [r["n_pass_tokens"] for r in a] == [4, 4, 4, 4]
+    assert a[1]["passage_hash"] == py_md5h60("t2 t3 t4 t5")
+    # short doc: single ragged window; empty doc: no rows
+    b = [r for r in out if r["doc_id"] == 2]
+    assert len(b) == 1 and b[0]["n_pass_tokens"] == 2
+    assert b[0]["passage_hash"] == py_md5h60("one two")
+    assert not [r for r in out if r["doc_id"] == 3]
