@@ -57,3 +57,30 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         raw.filter(wtype == "response")
         .select(url.alias("url"), ts.alias("warc_ts"), body.alias("html"))
     )
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """Parse WET conversion records (Common Crawl's extracted-TEXT
+    sibling of WARC — ``WARC-Type: conversion``, plain-text body after
+    ONE blank line, no HTTP header block) into ``(url, warc_ts, text)``.
+    Same text-source + codegen-parse shape as :func:`read_warc`; a
+    pipeline that consumes CC-WET instead of raw WARC starts here and
+    skips html extraction entirely."""
+    raw = spark.read.text(path, lineSep=_SEP)
+    rec = F.col("value")
+    wtype = F.regexp_extract(rec, r"WARC-Type:\s*([^\r\n]+)", 1)
+    url = F.regexp_extract(rec, r"WARC-Target-URI:\s*([^\r\n]+)", 1)
+    ts = F.to_timestamp(
+        F.regexp_extract(rec, r"WARC-Date:\s*([^\r\n]+)", 1),
+        "yyyy-MM-dd'T'HH:mm:ss'Z'",
+    )
+    # conversion record = WARC headers  BLANK  text body — the body
+    # starts 4 separator chars + 1 past the FIRST blank line
+    after1 = F.expr(
+        "substring(value, length(substring_index(value, '\r\n\r\n', 1)) + 5)"
+    )
+    body = F.regexp_replace(after1, r"[\r\n]+$", "")
+    return (
+        raw.filter(wtype == "conversion")
+        .select(url.alias("url"), ts.alias("warc_ts"), body.alias("text"))
+    )
