@@ -715,3 +715,63 @@ def test_strip_tracking_params_drop_sort_and_noquery(spark):
     }
     for url, want in cases:
         assert got[url] == want, (url, got[url], want)
+
+
+def test_canon_expr_idempotence_properties(spark):
+    """Canonicalizers must be idempotent: applying strip_tracking_params
+    or registrable_domain to its own output is a no-op, and
+    unicode_normalize's clean_text re-normalizes to itself. One Spark
+    job per property over an adversarial corpus (multiple '?', empty
+    params, bare params, tracking names at every position, decomposed
+    accents, control runs)."""
+    from crawler_spark.frontier.canon import (
+        registrable_domain_expr,
+        strip_tracking_params_expr,
+    )
+    from crawler_spark.pipeline.textstats import unicode_normalize
+
+    urls = [
+        "http://a.com/p?utm_a=1&b=2&utm_c=3&fbclid=x",
+        "http://a.com/p??b=2",            # second '?' lives inside a param
+        "http://a.com/p?&&a=1&",          # empty params
+        "http://a.com/p?flag&x",          # bare params, no '='
+        "http://a.com/p?z=1&y=2&x=3",     # unsorted
+        "http://a.com/p",
+        "",
+        "?utm_a=1",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    once = df.select(strip_tracking_params_expr(F.col("url")).alias("u1"))
+    twice = once.select(
+        "u1", strip_tracking_params_expr(F.col("u1")).alias("u2")
+    )
+    for r in twice.collect():
+        assert r["u1"] == r["u2"], r
+
+    hosts = [
+        "www.example.co.uk", "example.co.uk", "a.b.c.d.com", "x.xyz",
+        "deep.sub.example.xyz", "localhost", "co.uk", "uk",
+    ]
+    hdf = spark.createDataFrame([(h,) for h in hosts], ["host"])
+    h_twice = hdf.select(
+        registrable_domain_expr(F.col("host")).alias("r1")
+    ).select("r1", registrable_domain_expr(F.col("r1")).alias("r2"))
+    for r in h_twice.collect():
+        assert r["r1"] == r["r2"], r
+
+    texts = [
+        ("café ́ x", 0), ("a\x07\x07b  c\t\td", 1),
+        ("  \t \n ", 2), ("plain", 3),
+    ]
+    tdf = spark.createDataFrame(
+        [(i, t) for t, i in texts], ["doc_id", "text"]
+    )
+    clean = unicode_normalize(tdf, "doc_id", "text").select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    again = {
+        r["doc_id"]: r
+        for r in unicode_normalize(clean, "doc_id", "text").collect()
+    }
+    for i, r in again.items():
+        assert r["n_ctrl"] == 0 and not r["changed"], (i, r)
