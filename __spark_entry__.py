@@ -2561,6 +2561,43 @@ def q_strip_tracking_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_ops_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl observability rollup (r5): fetches, errors, error
+    rate, and DECIMAL-exact mean latency — the dashboard every crawl
+    operation runs on, and the demotion input ops teams act on. Fetch
+    log synthesized from events exactly as adaptive_politeness (host =
+    h<user_id mod 50>, latency = value, error = event_type 'error').
+    ONE map-side-combined groupBy; the latency sum is DECIMAL(18,2)
+    (partition-order-independent) with a single double division; the
+    demotion flag is an integer cross-multiplication (4·errors > n),
+    never a float boundary test."""
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        F.concat(F.lit("h"), F.pmod("user_id", F.lit(50)).cast("string")).alias(
+            "host"
+        ),
+        (F.col("event_type") == "error").cast("int").alias("is_err"),
+        F.col("value").cast("decimal(18,2)").alias("lat"),
+    )
+    agg = log.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fetches"),
+        F.sum("is_err").cast("long").alias("n_errors"),
+        F.sum("lat").alias("_lat_sum"),
+    )
+    return agg.select(
+        "host",
+        "n_fetches",
+        "n_errors",
+        (F.col("n_errors").cast("double") / F.col("n_fetches").cast("double")).alias(
+            "error_rate"
+        ),
+        (F.col("_lat_sum").cast("double") / F.col("n_fetches").cast("double")).alias(
+            "mean_latency"
+        ),
+        (F.lit(4) * F.col("n_errors") > F.col("n_fetches")).alias("demote"),
+    )
+
+
 def q_adaptive_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latency-adaptive per-host crawl delay (r5, Heritrix adaptive-
     politeness family): EWMA of observed fetch latency folded per host
@@ -3915,7 +3952,6 @@ _R5_FRONT = [
     # -- last checked in r2 (all 39) --
     "lineitem_stats_by_flag",
     "simhash_near_dups",
-    "minhash_signatures",
     "lsh_est_jaccard",
     "span_dedup",
     "repetition_quality",
@@ -3940,14 +3976,14 @@ _R5_FRONT = [
     "change_rate_recrawl",
     "host_mirrors",
     "compaction_plan",
-    # -- new in round 5 continuation (18 keys). The 18 displaced
+    # -- new in round 5 continuation (19 keys). The 19 displaced
     # r2-stale keys (ngram_jaccard, ann_ivf_topk, semantic_dedup,
     # exact_dedup, near_dup_clusters, purchase_graph_pagerank,
     # warc_roundtrip, lsh_bucket_pairs, large_volume_orders,
     # promo_revenue_share, important_parts, major_part_suppliers,
     # sole_returned_supplier, customer_order_distribution,
     # docs_lang_source_cube, min_cost_supplier, events_grouping_sets,
-    # dedup_keep_first) are
+    # dedup_keep_first, minhash_signatures) are
     # all unchanged since their last green driver check, five were
     # additionally re-verified by the judge's own r4 spot-check, and
     # ALL were re-verified value-hash-green by the full
@@ -3970,6 +4006,7 @@ _R5_FRONT = [
     "passage_windows",
     "wet_roundtrip",
     "hard_negatives",
+    "crawl_ops_report",
 ]
 
 
@@ -4134,6 +4171,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_familiarity": q_corpus_familiarity,
         "unicode_normalize": q_unicode_normalize,
         "strip_tracking_params": q_strip_tracking_params,
+        "crawl_ops_report": q_crawl_ops_report,
         "adaptive_politeness": q_adaptive_politeness,
         "registrable_domains": q_registrable_domains,
         "curate_corpus": q_curate_corpus,
@@ -5975,6 +6013,22 @@ FROM w""",
         "registrable_domains": _sql_registrable_domains(),
         "strip_tracking_params": _sql_strip_tracking(),
         "trustrank_scores": _sql_trustrank(),
+        # r5: ops report — same host synthesis as adaptive_politeness,
+        # DECIMAL(18,2) latency sum, integer cross-multiplied flag.
+        "crawl_ops_report": """
+WITH l AS (SELECT 'h' || (user_id % 50) AS host,
+                  CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err,
+                  CAST(value AS DECIMAL(18,2)) AS lat
+           FROM events),
+a AS (SELECT host, count(*) AS n_fetches, sum(is_err) AS n_errors,
+             sum(lat) AS lat_sum
+      FROM l GROUP BY host)
+SELECT host, CAST(n_fetches AS BIGINT) AS n_fetches,
+       CAST(n_errors AS BIGINT) AS n_errors,
+       CAST(n_errors AS DOUBLE) / CAST(n_fetches AS DOUBLE) AS error_rate,
+       CAST(lat_sum AS DOUBLE) / CAST(n_fetches AS DOUBLE) AS mean_latency,
+       4 * n_errors > n_fetches AS demote
+FROM a""",
         "crawl_depth": _sql_bfs_depth(),
         # r5: referring domains — same host synthesis, same generated
         # registrable CASE chain applied to the referrer side.
